@@ -1,0 +1,250 @@
+"""Reference-shaped engine facade.
+
+API parity with the reference class (gvom.py:12-410): the same constructor
+signature, `process_pointcloud`, `combine_maps`, `get_map_as_occupancy_grid`,
+and the three debug exporters. Under the hood everything is jitted pure
+functions over pytree state — the reference's per-slot semaphores
+(gvom.py:65-67) and ego semaphore (gvom.py:96) reduce to one host-side lock
+around the state-pointer swap, because device state is immutable.
+
+Unlike the reference there is no per-scan device→host sync (gvom.py:147's
+cell-count copy): degenerate scans are masked no-ops on device, and
+`process_pointcloud` stays fully asynchronous.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvom_tpu.config import GvomConfig
+from gvom_tpu.models import pipeline
+from gvom_tpu.ops import moments
+from gvom_tpu.types import BufferState, WorldState, empty_buffer_state, empty_world_state
+
+__all__ = ["Gvom"]
+
+
+class Gvom:
+    """Drop-in engine: `Gvom(xy_resolution, z_resolution, ...)` positional
+    parameters as in the reference (gvom.py:29-31), or `Gvom(config=cfg)`."""
+
+    def __init__(
+        self,
+        xy_resolution: float = None,
+        z_resolution: float = None,
+        xy_size: int = None,
+        z_size: int = None,
+        buffer_size: int = None,
+        min_distance: float = None,
+        positive_obstacle_threshold: float = None,
+        negative_obstacle_threshold: float = None,
+        slope_obstacle_threshold: float = None,
+        robot_height: float = None,
+        robot_radius: float = None,
+        ground_to_lidar_height: float = None,
+        xy_eigen_dist: int = None,
+        z_eigen_dist: int = None,
+        *,
+        config: Optional[GvomConfig] = None,
+        raycast_impl: str = "auto",
+    ):
+        if config is None:
+            kw = dict(
+                xy_resolution=xy_resolution,
+                z_resolution=z_resolution,
+                xy_size=xy_size,
+                z_size=z_size,
+                buffer_size=buffer_size,
+                min_distance=min_distance,
+                positive_obstacle_threshold=positive_obstacle_threshold,
+                negative_obstacle_threshold=negative_obstacle_threshold,
+                slope_obstacle_threshold=slope_obstacle_threshold,
+                robot_height=robot_height,
+                robot_radius=robot_radius,
+                ground_to_lidar_height=ground_to_lidar_height,
+                xy_eigen_dist=xy_eigen_dist,
+                z_eigen_dist=z_eigen_dist,
+            )
+            config = GvomConfig().replace(**{k: v for k, v in kw.items() if v is not None})
+        self.config = config.validate()
+        self.raycast_impl = raycast_impl
+        self._lock = threading.Lock()
+        self._buffer: BufferState = empty_buffer_state(self.config)
+        self._world: WorldState = empty_world_state(self.config)
+        self._products = None
+        self._products_ok = False
+        self._scan_count = 0
+        self.ego_position = np.zeros(3)
+
+        cfg = self.config
+        self._ingest_tf = jax.jit(
+            lambda buf, p, v, ego, tf: pipeline.ingest_and_insert(cfg, buf, p, v, ego, tf, raycast_impl)
+        )
+        self._ingest_no_tf = jax.jit(
+            lambda buf, p, v, ego: pipeline.ingest_and_insert(cfg, buf, p, v, ego, None, raycast_impl)
+        )
+        self._combine = jax.jit(lambda buf, world, ego: pipeline.combine(cfg, buf, world, ego))
+
+    # ------------------------------------------------------------------
+    def _pad(self, pc: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        cap = self.config.max_points
+        n = pc.shape[0]
+        if n > cap:
+            pc = pc[:cap]
+            n = cap
+        out = np.zeros((cap, 3), np.float32)
+        out[:n] = pc[:n, :3]
+        mask = np.zeros((cap,), bool)
+        mask[:n] = True
+        return out, mask
+
+    def process_pointcloud(self, pointcloud: np.ndarray, ego_position, transform=None):
+        """Voxelize one scan into the ring buffer (gvom.py:99-175)."""
+        pc = np.asarray(pointcloud)
+        if pc.shape[0] == 0:
+            print("[WARNING] Processing an empty pointcloud, nothing will happen!")
+            return None
+        pts, mask = self._pad(pc)
+        ego = jnp.asarray(np.asarray(ego_position, np.float32))
+        with self._lock:
+            self.ego_position = np.asarray(ego_position, np.float64)
+            if transform is not None:
+                buf, scan_ok = self._ingest_tf(
+                    self._buffer, jnp.asarray(pts), jnp.asarray(mask), ego, jnp.asarray(np.asarray(transform, np.float32))
+                )
+            else:
+                buf, scan_ok = self._ingest_no_tf(self._buffer, jnp.asarray(pts), jnp.asarray(mask), ego)
+            self._buffer = buf
+            self._scan_count += 1
+        return scan_ok
+
+    def combine_maps(self):
+        """Fuse the buffer + previous map and return the five outputs
+        (gvom.py:177-354): (origin_world, positive, negative, roughness,
+        visibility), or None when the buffer is empty."""
+        with self._lock:
+            if self._scan_count == 0:
+                print("[WARNING] The map buffer is empty, nothing will happen!")
+                return None
+            ego = jnp.asarray(self.ego_position.astype(np.float32))
+            world, products, ok = self._combine(self._buffer, self._world, ego)
+            ok_host = bool(ok)
+            if not ok_host:
+                print("[WARNING] The map buffer is empty, nothing will happen!")
+                return None
+            self._world = world
+            self._products = products
+            self._products_ok = True
+        cfg = self.config
+        origin_world = products.origin_world(cfg)
+        return (
+            origin_world,
+            np.asarray(products.positive_obstacle),
+            np.asarray(products.negative_obstacle),
+            np.asarray(products.roughness),
+            np.asarray(products.visibility),
+        )
+
+    # ------------------------------------------------------------------
+    def get_map_as_occupancy_grid(self) -> Optional[np.ndarray]:
+        """[X,Y,Z] bool occupancy of the last combined map (gvom.py:356-361)."""
+        if not self._products_ok:
+            return None
+        return np.asarray(self._world.grid.hit > 0)
+
+    def make_debug_voxel_map(self) -> Optional[np.ndarray]:
+        """[K,8] per occupied voxel: world xyz, hit/total density, hit count,
+        eigen features λ0−λ1, λ1−λ2, λ2 (gvom.py:363-378, 452-475).
+        Row order is voxel-linear (the reference's rows follow its atomic
+        allocation order; rows are an unordered point cloud)."""
+        if not self._products_ok:
+            print("No data")
+            return None
+        cfg = self.config
+        g = self._world.grid
+        occ = np.asarray(g.hit > 0)
+        xs, ys, zs = np.nonzero(occ)
+        if len(xs) == 0:
+            return np.zeros((0, 8), np.float32)
+        cov = moments.covariance(g.n, g.m2)
+        ev = np.asarray(moments.eigenvalues(cov))
+        origin = np.asarray(g.origin)
+        hit = np.asarray(g.hit)[xs, ys, zs].astype(np.float32)
+        tot = np.asarray(g.hit + g.miss)[xs, ys, zs].astype(np.float32)
+        out = np.zeros((len(xs), 8), np.float32)
+        out[:, 0] = (xs + origin[0]) * cfg.xy_resolution
+        out[:, 1] = (ys + origin[1]) * cfg.xy_resolution
+        out[:, 2] = (zs + origin[2]) * cfg.z_resolution
+        out[:, 3] = hit / np.maximum(tot, 1.0)
+        out[:, 4] = hit
+        e = ev[:, xs, ys, zs]
+        out[:, 5] = e[0] - e[1]
+        out[:, 6] = e[1] - e[2]
+        out[:, 7] = e[2]
+        return out
+
+    def make_debug_height_map(self) -> Optional[np.ndarray]:
+        """[X*X,7]: world xyz (height − z_res), roughness, slope_x, slope_y,
+        |slope| (gvom.py:380-394, 424-438)."""
+        if not self._products_ok:
+            print("No data")
+            return None
+        cfg = self.config
+        p = self._products
+        X = cfg.xy_size
+        origin = np.asarray(p.origin)
+        hm = np.asarray(p.height)
+        sx = np.asarray(p.slope_x)
+        sy = np.asarray(p.slope_y)
+        rough = np.asarray(p.roughness)
+        x, y = np.meshgrid(np.arange(X), np.arange(X), indexing="ij")
+        out = np.zeros((X * X, 7), np.float32)
+        idx = (x + y * X).ravel()
+        out[idx, 0] = ((x + origin[0]) * cfg.xy_resolution).ravel()
+        out[idx, 1] = ((y + origin[1]) * cfg.xy_resolution).ravel()
+        out[idx, 2] = (hm - cfg.z_resolution).ravel()
+        out[idx, 3] = rough.ravel()
+        out[idx, 4] = sx.ravel()
+        out[idx, 5] = sy.ravel()
+        out[idx, 6] = np.sqrt(sx * sx + sy * sy).ravel()
+        return out
+
+    def make_debug_inferred_height_map(self) -> Optional[np.ndarray]:
+        """[X*X,3]: world xy, guessed height delta − z_res (gvom.py:396-410)."""
+        if not self._products_ok:
+            print("No data")
+            return None
+        cfg = self.config
+        p = self._products
+        X = cfg.xy_size
+        origin = np.asarray(p.origin)
+        ghd = np.asarray(p.guessed_height_delta)
+        x, y = np.meshgrid(np.arange(X), np.arange(X), indexing="ij")
+        out = np.zeros((X * X, 3), np.float32)
+        idx = (x + y * X).ravel()
+        out[idx, 0] = ((x + origin[0]) * cfg.xy_resolution).ravel()
+        out[idx, 1] = ((y + origin[1]) * cfg.xy_resolution).ravel()
+        out[idx, 2] = (ghd - cfg.z_resolution).ravel()
+        return out
+
+    # ------------------------------------------------------------------
+    @property
+    def products(self):
+        return self._products if self._products_ok else None
+
+    @property
+    def world_state(self) -> WorldState:
+        return self._world
+
+    def reset(self):
+        with self._lock:
+            self._buffer = empty_buffer_state(self.config)
+            self._world = empty_world_state(self.config)
+            self._products = None
+            self._products_ok = False
+            self._scan_count = 0

@@ -1,0 +1,240 @@
+"""The mapping pipelines: pure jitted functions assembled from ops/.
+
+Reference call-stack parity (SURVEY.md §3):
+  * ingest_scan        ≙ process_pointcloud's device work (gvom.py:99-161)
+  * buffer_insert      ≙ the ring-buffer write (gvom.py:163-175), functional
+  * combine            ≙ combine_maps (gvom.py:177-354)
+  * full_step          = ingest + insert + combine fused in one jit — the TPU
+                         replacement for the reference's two host threads.
+
+Every function is shape-static and jit-safe; degenerate inputs (empty cloud,
+zero occupied voxels, empty buffer — reference warnings at gvom.py:107-109,
+148-150, 179-181) are masked no-op steps signalled by boolean flags, not
+control flow.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gvom_tpu.config import GvomConfig
+from gvom_tpu.ops import binning, maps2d, moments
+from gvom_tpu.ops import grid as gridops
+from gvom_tpu.ops import raycast
+from gvom_tpu.types import (
+    BufferState,
+    MapProducts,
+    VoxelGrid,
+    WorldState,
+    empty_voxel_grid,
+)
+
+__all__ = ["ingest_scan", "buffer_insert", "combine", "ingest_and_insert", "full_step"]
+
+
+def _tree_slice(tree, i):
+    return jax.tree_util.tree_map(lambda l: l[i], tree)
+
+
+def _tree_where(pred, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+# ----------------------------------------------------------------------
+# ingest
+
+
+def ingest_scan(
+    cfg: GvomConfig,
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    ego_position: jnp.ndarray,
+    transform: Optional[jnp.ndarray] = None,
+    raycast_impl: str = "auto",
+) -> Tuple[VoxelGrid, jnp.ndarray]:
+    """One scan → dense voxel map. Returns (grid, scan_ok).
+
+    scan_ok is False when the scan produced zero occupied voxels — the
+    reference drops such scans without buffering them (gvom.py:148-150).
+    """
+    ego = ego_position.astype(jnp.float32)
+    p, keep = binning.prepare_points(cfg, points, valid, ego, transform)
+    origin = gridops.compute_origin(cfg, ego)
+    bins = binning.bin_points(cfg, p, keep, origin)
+    passes = raycast.ray_pass_counts(cfg, p, keep, ego, origin, impl=raycast_impl)
+    n, mean, m2 = moments.box_aggregate_moments(cfg, bins)
+    occ = bins.hit > 0
+    grid = VoxelGrid(
+        hit=bins.hit,
+        miss=passes,
+        evidence=jnp.where(occ, 0, passes),
+        min_height=bins.min_height,
+        n=jnp.where(occ, n, 0.0),
+        mean=jnp.where(occ[None], mean, 0.0),
+        m2=jnp.where(occ[None], m2, 0.0),
+        origin=origin,
+    )
+    scan_ok = jnp.any(occ)
+    return grid, scan_ok
+
+
+# ----------------------------------------------------------------------
+# ring buffer
+
+
+def buffer_insert(cfg: GvomConfig, buf: BufferState, grid: VoxelGrid, scan_ok: jnp.ndarray) -> BufferState:
+    """Functional ring-buffer write (gvom.py:163-175). No-op when !scan_ok."""
+    cur = buf.cursor
+    new_grids = jax.tree_util.tree_map(
+        lambda stacked, leaf: jnp.where(scan_ok, stacked.at[cur].set(leaf), stacked),
+        buf.grids,
+        grid,
+    )
+    return BufferState(
+        grids=new_grids,
+        slot_valid=jnp.where(scan_ok, buf.slot_valid.at[cur].set(True), buf.slot_valid),
+        cursor=jnp.where(scan_ok, (cur + 1) % cfg.buffer_size, cur).astype(jnp.int32),
+        last_slot=jnp.where(scan_ok, cur, buf.last_slot).astype(jnp.int32),
+    )
+
+
+def ingest_and_insert(
+    cfg: GvomConfig,
+    buf: BufferState,
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    ego_position: jnp.ndarray,
+    transform: Optional[jnp.ndarray] = None,
+    raycast_impl: str = "auto",
+) -> Tuple[BufferState, jnp.ndarray]:
+    grid, scan_ok = ingest_scan(cfg, points, valid, ego_position, transform, raycast_impl)
+    return buffer_insert(cfg, buf, grid, scan_ok), scan_ok
+
+
+# ----------------------------------------------------------------------
+# fusion + map products
+
+
+def combine(
+    cfg: GvomConfig,
+    buf: BufferState,
+    world: WorldState,
+    ego_position: jnp.ndarray,
+) -> Tuple[WorldState, MapProducts, jnp.ndarray]:
+    """Fuse buffered scans + decayed previous world map, derive the 2D maps.
+
+    Slot iteration order and the occupied-wins / miss-accumulation / staleness
+    veto semantics follow gvom.py:198-266 & 941-997. Returns
+    (new world, products, combine_ok)."""
+    ego = ego_position.astype(jnp.float32)
+    origin = buf.grids.origin[buf.last_slot]
+    any_valid = jnp.any(buf.slot_valid)
+
+    # --- phase A: occupancy + negative evidence (slot order latches) ---
+    aligned = []
+    for i in range(cfg.buffer_size):
+        g = _tree_slice(buf.grids, i)
+        aligned.append((gridops.shift_align_grid(g, origin - g.origin), buf.slot_valid[i]))
+
+    shape = cfg.grid_shape
+    occ = jnp.zeros(shape, bool)
+    evidence = jnp.zeros(shape, jnp.int32)
+    for a, sv in aligned:
+        s_occ = (a.hit > 0) & sv
+        s_ev = jnp.where(sv, a.evidence, 0)
+        evidence = jnp.where((s_ev > 0) & ~s_occ & ~occ, evidence + s_ev, evidence)
+        occ = occ | s_occ
+
+    old = gridops.shift_align_grid(world.grid, origin - world.grid.origin)
+    old_occ = (old.hit > 0) & world.valid
+    revive = old_occ & ~occ & (evidence <= cfg.decay_miss_limit)   # staleness veto (gvom.py:992)
+    occ = occ | revive
+    old_ev = jnp.where(world.valid, old.evidence, 0)
+    evidence = jnp.where(~old_occ & (old_ev > 0) & ~occ, evidence + old_ev, evidence)
+
+    # --- phase B: data fusion where source voxel occupied & target occupied ---
+    hit = jnp.zeros(shape, jnp.int32)
+    miss = jnp.zeros(shape, jnp.int32)
+    min_height = jnp.ones(shape, jnp.float32)
+    mom = (jnp.zeros(shape, jnp.float32), jnp.zeros((3,) + shape, jnp.float32), jnp.zeros((6,) + shape, jnp.float32))
+
+    def merge_data(acc, src: VoxelGrid, src_sel):
+        h, ms, mh, mo = acc
+        m = src_sel
+        h = h + jnp.where(m, src.hit, 0)
+        ms = ms + jnp.where(m, src.miss, 0)
+        mh = jnp.where(m, jnp.minimum(mh, src.min_height), mh)
+        src_mom = (
+            jnp.where(m, src.n, 0.0),
+            jnp.where(m[None], src.mean, 0.0),
+            jnp.where(m[None], src.m2, 0.0),
+        )
+        mo = moments.chan_merge(mo, src_mom)
+        return h, ms, mh, mo
+
+    acc = (hit, miss, min_height, mom)
+    for a, sv in aligned:
+        acc = merge_data(acc, a, (a.hit > 0) & sv & occ)
+    acc = merge_data(acc, old, old_occ & occ)
+    hit, miss, min_height, (n, mean, m2) = acc
+
+    new_grid = VoxelGrid(
+        hit=hit,
+        miss=miss,
+        evidence=evidence,
+        min_height=min_height,
+        n=n,
+        mean=mean,
+        m2=m2,
+        origin=origin,
+    )
+    new_world = WorldState(grid=new_grid, valid=jnp.asarray(True))
+    new_world = _tree_where(any_valid, new_world, world)
+
+    # --- 2D products (gvom.py:286-354) ---
+    hm = maps2d.height_map(cfg, occ, min_height, origin, ego)
+    ihm = maps2d.inferred_height_map(cfg, occ, evidence, origin)
+    slope_x, slope_y, rough = maps2d.slope_and_roughness(cfg, hm)
+    ghd = maps2d.guess_height_delta(cfg, hm, ihm)
+    pos = maps2d.positive_obstacle_map(cfg, occ, hit, hit + miss, hm, slope_x, slope_y, origin)
+    neg = maps2d.negative_obstacle_map(cfg, ghd)
+    vis = maps2d.visibility_map(hm)
+    products = MapProducts(
+        origin=origin,
+        height=hm,
+        inferred_height=ihm,
+        slope_x=slope_x,
+        slope_y=slope_y,
+        roughness=rough,
+        guessed_height_delta=ghd,
+        positive_obstacle=pos,
+        negative_obstacle=neg,
+        visibility=vis,
+    )
+    return new_world, products, any_valid
+
+
+# ----------------------------------------------------------------------
+# fused step (the flagship single-chip entry point)
+
+
+@partial(jax.jit, static_argnames=("cfg", "raycast_impl"))
+def full_step(
+    cfg: GvomConfig,
+    buf: BufferState,
+    world: WorldState,
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    ego_position: jnp.ndarray,
+    transform: Optional[jnp.ndarray] = None,
+    raycast_impl: str = "auto",
+) -> Tuple[BufferState, WorldState, MapProducts, jnp.ndarray]:
+    """Ingest one scan and run one combine — the whole reference loop
+    (sensor callback + timer callback) as a single compiled step."""
+    buf, scan_ok = ingest_and_insert(cfg, buf, points, valid, ego_position, transform, raycast_impl)
+    world, products, ok = combine(cfg, buf, world, ego_position)
+    return buf, world, products, ok & (scan_ok | jnp.any(buf.slot_valid))

@@ -1,0 +1,276 @@
+"""2D map derivation (the reference's K17-K23, gvom.py:412-734).
+
+Every kernel here is a per-column reduction or a bounded stencil — native XLA
+territory. Designs:
+
+  * height / inferred height: masked first-occupied-z argmax per column
+    (replaces the per-column z loop, gvom.py:536-554).
+  * slope + roughness: the 3×3 least-squares plane fit's normal equations are
+    built from 9 statically shifted adds; coordinates are taken relative to
+    the center cell (the fit is translation invariant — algebraically equal to
+    gvom.py:679-734 but f32-stable).
+  * guess height: the reference's data-dependent outward search
+    (gvom.py:556-661) becomes per-row/column nearest-known-index prefix scans
+    plus `guess_search_radius` unrolled constant-time steps, replicating the
+    reference's early-exit quirks exactly (x_p_done never tested in the loop
+    condition; y_nh merged under the x_nh guard).
+  * positive obstacle: masked per-column band reduction (gvom.py:487-521,
+    including the +1 band-start offset).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gvom_tpu.config import GvomConfig
+from gvom_tpu.types import UNKNOWN_HEIGHT
+
+__all__ = [
+    "height_map",
+    "inferred_height_map",
+    "slope_and_roughness",
+    "guess_height_delta",
+    "positive_obstacle_map",
+    "negative_obstacle_map",
+    "visibility_map",
+]
+
+_BIG = jnp.int32(1 << 20)
+
+
+def height_map(
+    cfg: GvomConfig,
+    occ: jnp.ndarray,
+    min_height: jnp.ndarray,
+    origin: jnp.ndarray,
+    ego_position: jnp.ndarray,
+) -> jnp.ndarray:
+    """First-occupied-voxel height per column with the ego-disk pre-seed
+    (gvom.py:523-540)."""
+    X = cfg.xy_size
+    any_occ = jnp.any(occ, axis=2)
+    zfirst = jnp.argmax(occ, axis=2)
+    mh = jnp.take_along_axis(min_height, zfirst[..., None], axis=2)[..., 0]
+    col_h = (mh + zfirst.astype(jnp.float32) + origin[2].astype(jnp.float32)) * cfg.z_resolution
+    gx = (origin[0].astype(jnp.float32) + jnp.arange(X, dtype=jnp.float32))[:, None] * cfg.xy_resolution - ego_position[0]
+    gy = (origin[1].astype(jnp.float32) + jnp.arange(X, dtype=jnp.float32))[None, :] * cfg.xy_resolution - ego_position[1]
+    disk = gx * gx + gy * gy <= jnp.float32(cfg.robot_radius) ** 2
+    seed = jnp.where(disk, ego_position[2] - jnp.float32(cfg.ground_to_lidar_height), UNKNOWN_HEIGHT)
+    return jnp.where(any_occ, col_h, seed)
+
+
+def inferred_height_map(
+    cfg: GvomConfig, occ: jnp.ndarray, evidence: jnp.ndarray, origin: jnp.ndarray
+) -> jnp.ndarray:
+    """First observed-empty voxel per column (gvom.py:542-554)."""
+    miss = (~occ) & (evidence > 0)
+    any_miss = jnp.any(miss, axis=2)
+    zfirst = jnp.argmax(miss, axis=2)
+    ih = (zfirst.astype(jnp.float32) + origin[2].astype(jnp.float32)) * cfg.z_resolution
+    return jnp.where(any_miss, ih, UNKNOWN_HEIGHT)
+
+
+def _shift2(arr: jnp.ndarray, di: int, dj: int, fill) -> jnp.ndarray:
+    """out[i,j] = arr[i+di, j+dj], static offsets, fill outside."""
+    X, Y = arr.shape
+    out = arr
+    padi = (max(0, -di), max(0, di))
+    padj = (max(0, -dj), max(0, dj))
+    out = jnp.pad(out, (padi, padj), constant_values=fill)
+    return out[padi[0] + di: padi[0] + di + X, padj[0] + dj: padj[0] + dj + Y]
+
+
+def slope_and_roughness(cfg: GvomConfig, hm: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """3×3 neighborhood least-squares plane fit: x/y slope angles and
+    roughness = log mean squared residual (gvom.py:663-734)."""
+    res = jnp.float32(cfg.xy_resolution)
+    known = hm > UNKNOWN_HEIGHT
+    kf = known.astype(jnp.float32)
+    hz = jnp.where(known, hm, 0.0).astype(jnp.float32)
+
+    cnt = jnp.zeros_like(kf)
+    sx = jnp.zeros_like(kf); sy = jnp.zeros_like(kf); sz = jnp.zeros_like(kf)
+    sxx = jnp.zeros_like(kf); sxy = jnp.zeros_like(kf); sxz = jnp.zeros_like(kf)
+    syy = jnp.zeros_like(kf); syz = jnp.zeros_like(kf); szz = jnp.zeros_like(kf)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            k = _shift2(kf, di, dj, 0.0)
+            z = _shift2(hz, di, dj, 0.0)
+            dx = di * res
+            dy = dj * res
+            cnt += k
+            sx += dx * k
+            sy += dy * k
+            sz += z
+            sxx += dx * dx * k
+            sxy += dx * dy * k
+            sxz += dx * z
+            syy += dy * dy * k
+            syz += dy * z
+            szz += z * z
+
+    ok = cnt >= 3
+    c = jnp.where(ok, cnt, 1.0)
+    mx, my, mz = sx / c, sy / c, sz / c
+    xx = sxx - c * mx * mx
+    xy = sxy - c * mx * my
+    xz = sxz - c * mx * mz
+    yy = syy - c * my * my
+    yz = syz - c * my * mz
+    zz = szz - c * mz * mz
+    det = xx * yy - xy * xy
+    ok = ok & (det != 0)
+    dets = jnp.where(det != 0, det, 1.0)
+    a0 = (yy * xz - xy * yz) / dets
+    a1 = (xx * yz - xy * xz) / dets
+    m = jnp.sqrt(a0 * a0 + a1 * a1 + 1.0)
+    a0n, a1n = a0 / m, a1 / m
+    err = (zz - 2.0 * (a0n * xz + a1n * yz) + a0n * a0n * xx + 2.0 * a0n * a1n * xy + a1n * a1n * yy) / c
+    err = jnp.where(err > 0, jnp.log(jnp.where(err > 0, err, 1.0)), err)
+    rough = jnp.where(ok, err, -1.0)
+    slope_x = jnp.where(ok, jnp.arctan2(a0n, 1.0 / m), 0.0)
+    slope_y = jnp.where(ok, jnp.arctan2(a1n, 1.0 / m), 0.0)
+    return slope_x, slope_y, rough
+
+
+def _nearest_known_fwd(idx_if_known: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """nk[i] = min{i' >= i : known[i']} along axis, _BIG if none."""
+    rev = jnp.flip(idx_if_known, axis=axis)
+    acc = jax.lax.associative_scan(jnp.minimum, rev, axis=axis)
+    return jnp.flip(acc, axis=axis)
+
+
+def guess_height_delta(cfg: GvomConfig, hm: jnp.ndarray, ihm: jnp.ndarray) -> jnp.ndarray:
+    """Height uncertainty for inferred-only cells (gvom.py:556-661).
+
+    For each cell with no measured height but an inferred one, search outward
+    up to guess_search_radius steps in ±x/±y wedges for the nearest measured
+    heights and output max−min over {found heights, inferred height}. The
+    reference's early-exit and merge quirks are replicated (see module
+    docstring)."""
+    X = cfg.xy_size
+    R = cfg.guess_search_radius
+    known = hm > UNKNOWN_HEIGHT
+
+    yidx = jax.lax.broadcasted_iota(jnp.int32, (X, X), 1)
+    xidx = jax.lax.broadcasted_iota(jnp.int32, (X, X), 0)
+    nk_y = _nearest_known_fwd(jnp.where(known, yidx, _BIG), axis=1)   # along y, per row
+    nk_x = _nearest_known_fwd(jnp.where(known, xidx, _BIG), axis=0)   # along x, per column
+
+    x0 = xidx
+    y0 = yidx
+    UH = jnp.float32(UNKNOWN_HEIGHT)
+
+    # per-direction state
+    done = {d: jnp.zeros((X, X), bool) for d in ("xp", "xn", "yp", "yn")}
+    hval = {d: jnp.full((X, X), UH) for d in ("xp", "xn", "yp", "yn")}
+    running = jnp.ones((X, X), bool)
+
+    def window_first(nk, shifted_axis, i, lo, hi, row_shift):
+        """First known index in scan order within [lo,hi] on the line offset
+        row_shift from the cell, using precomputed nearest-known indices.
+
+        nk is indexed at the shifted row/column; returns (found, cand_idx)."""
+        if shifted_axis == 0:
+            nk_sh = _shift2(nk, row_shift, 0, _BIG)      # row x0+row_shift, scan along y
+        else:
+            nk_sh = _shift2(nk, 0, row_shift, _BIG)      # column y0+row_shift, scan along x
+        lo_c = jnp.clip(lo, 0, X - 1)
+        if shifted_axis == 0:
+            cand = jnp.take_along_axis(nk_sh, lo_c, axis=1)
+        else:
+            cand = jnp.take_along_axis(nk_sh, lo_c, axis=0)
+        found = (cand <= jnp.minimum(hi, X - 1)) & (lo <= hi)
+        return found, jnp.clip(cand, 0, X - 1)
+
+    for i in range(1, R + 1):
+        active = running
+        # x_p: row x0+i, dy in [-i, i-1] (gvom.py:588-599)
+        f, cand = window_first(nk_y, 0, i, y0 - i, y0 + i - 1, i)
+        hm_row = _shift2(hm, i, 0, UNKNOWN_HEIGHT)
+        val = jnp.take_along_axis(hm_row, cand, axis=1)
+        oob = x0 + i >= X
+        take = active & ~done["xp"] & ~oob & f
+        hval["xp"] = jnp.where(take, val, hval["xp"])
+        done["xp"] = done["xp"] | (active & ~done["xp"] & (oob | f))
+        # x_n: row x0-i, dy in [-i+1, i] (gvom.py:601-612)
+        f, cand = window_first(nk_y, 0, i, y0 - i + 1, y0 + i, -i)
+        hm_row = _shift2(hm, -i, 0, UNKNOWN_HEIGHT)
+        val = jnp.take_along_axis(hm_row, cand, axis=1)
+        oob = x0 - i < 0
+        take = active & ~done["xn"] & ~oob & f
+        hval["xn"] = jnp.where(take, val, hval["xn"])
+        done["xn"] = done["xn"] | (active & ~done["xn"] & (oob | f))
+        # y_p: column y0+i, dx in [-i+1, i] (gvom.py:614-625)
+        f, cand = window_first(nk_x, 1, i, x0 - i + 1, x0 + i, i)
+        hm_col = _shift2(hm, 0, i, UNKNOWN_HEIGHT)
+        val = jnp.take_along_axis(hm_col, cand, axis=0)
+        oob = y0 + i >= X
+        take = active & ~done["yp"] & ~oob & f
+        hval["yp"] = jnp.where(take, val, hval["yp"])
+        done["yp"] = done["yp"] | (active & ~done["yp"] & (oob | f))
+        # y_n: column y0-i, dx in [-i, i-1] (gvom.py:627-638)
+        f, cand = window_first(nk_x, 1, i, x0 - i, x0 + i - 1, -i)
+        hm_col = _shift2(hm, 0, -i, UNKNOWN_HEIGHT)
+        val = jnp.take_along_axis(hm_col, cand, axis=0)
+        oob = y0 - i < 0
+        take = active & ~done["yn"] & ~oob & f
+        hval["yn"] = jnp.where(take, val, hval["yn"])
+        done["yn"] = done["yn"] | (active & ~done["yn"] & (oob | f))
+        # loop-exit quirk: x_p_done is never tested (gvom.py:581)
+        running = running & ~(done["xn"] & done["yp"] & done["yn"])
+
+    min_h = jnp.full((X, X), 1000.0)
+    max_h = jnp.where(ihm != UNKNOWN_HEIGHT, ihm, UH)
+    for d, guard in (("xp", "xp"), ("xn", "xn"), ("yp", "yp"), ("yn", "xn")):
+        # the y_n merge is guarded by x_n's sentinel — reference quirk (gvom.py:655)
+        g = hval[guard] > UNKNOWN_HEIGHT
+        v = hval[d]
+        min_h = jnp.where(g, jnp.minimum(v, min_h), min_h)
+        max_h = jnp.where(g, jnp.maximum(v, max_h), max_h)
+    dh = max_h - min_h
+    out = jnp.where((~known) & (ihm != UNKNOWN_HEIGHT) & (dh > 0), dh, 0.0)
+    return out
+
+
+def positive_obstacle_map(
+    cfg: GvomConfig,
+    occ: jnp.ndarray,
+    hit: jnp.ndarray,
+    total: jnp.ndarray,
+    hm: jnp.ndarray,
+    slope_x: jnp.ndarray,
+    slope_y: jnp.ndarray,
+    origin: jnp.ndarray,
+) -> jnp.ndarray:
+    """Mean occupied-voxel density in the column band
+    [height+threshold, height+robot_height] (gvom.py:487-521)."""
+    Z = cfg.z_size
+    steep = jnp.sqrt(slope_x * slope_x + slope_y * slope_y) >= jnp.float32(cfg.slope_obstacle_threshold)
+    o2 = origin[2].astype(jnp.float32)
+    lo = jnp.floor((hm + cfg.positive_obstacle_threshold) / cfg.z_resolution - o2).astype(jnp.int32) + 1
+    hi = jnp.floor((hm + cfg.robot_height) / cfg.z_resolution - o2).astype(jnp.int32)
+    band_ok = (lo >= 0) & (lo < Z) & (hi >= 0) & (hi < Z)
+    zs = jax.lax.broadcasted_iota(jnp.int32, occ.shape, 2)
+    in_band = (zs >= lo[..., None]) & (zs <= hi[..., None])
+    strong = occ & (hit > cfg.hit_count_threshold)
+    sel = in_band & strong
+    num = jnp.sum(jnp.where(sel, hit, 0), axis=2).astype(jnp.float32)
+    den = jnp.sum(jnp.where(sel, total, 0), axis=2).astype(jnp.float32)
+    dens = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+    val = (dens * 100.0).astype(jnp.int32)
+    return jnp.where(steep, 100, jnp.where(band_ok, val, 0))
+
+
+def negative_obstacle_map(cfg: GvomConfig, guessed_delta: jnp.ndarray) -> jnp.ndarray:
+    """gvom.py:477-485."""
+    return jnp.where(guessed_delta > jnp.float32(cfg.negative_obstacle_threshold), 100, 0).astype(jnp.int32)
+
+
+def visibility_map(hm: jnp.ndarray) -> jnp.ndarray:
+    """gvom.py:412-422."""
+    return (hm > UNKNOWN_HEIGHT).astype(jnp.int32)

@@ -1,0 +1,102 @@
+"""Free-space ray accumulation (the reference's K4 DDA march,
+gvom.py:1091-1150).
+
+Semantics: every kept point traces a ray from the ego position toward the
+point in normalized (voxel-unit) space, stepping so the dominant axis advances
+exactly one voxel per step, incrementing the pass count of each traversed
+voxel, stopping at the grid boundary or once the accumulated step length
+reaches ray_length − 1. Because step k's position is start + k·(slope/|s_dom|)
+(an exact affine function) and the grid box is convex, "stopped at boundary"
+is equivalent to masking out-of-bounds samples — no sequential state.
+
+Implementations:
+  * xla: per-step vectorized scatter-add (portable; used on CPU test meshes).
+  * matmul (Pallas/MXU): all rays of a scan share the ego, so at step k every
+    dominant-x ray lands in the same x slice — the march collapses into
+    per-(axis, sign, step) 2D histograms over the two non-dominant
+    coordinates, computed as one-hot matmuls with f32 accumulation (exact
+    integer counts). See ops/pallas_kernels.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gvom_tpu.config import GvomConfig
+from gvom_tpu.ops import grid as gridops
+
+__all__ = ["ray_geometry", "ray_pass_counts_xla", "ray_pass_counts"]
+
+
+def ray_geometry(cfg: GvomConfig, points: jnp.ndarray, keep: jnp.ndarray, ego_position: jnp.ndarray):
+    """Per-ray march parameters, shared by all implementations.
+
+    Returns (start [3], step [N,3], delta [N] — per-step length cost,
+    budget [N] = ray_length − 1, dom [N]); step k (1-based) is taken iff
+    (k−1)·delta < budget, matching gvom.py:1127,1150 bit-for-bit in f32.
+    """
+    res = gridops.resolution_vector(cfg)
+    start = ego_position.astype(jnp.float32) / res
+    end = points / res
+    slope = end - start[None, :]
+    length = jnp.sqrt(jnp.sum(slope * slope, axis=1))
+    ok = keep & (length > 0)
+    s = jnp.where(ok[:, None], slope / jnp.where(length > 0, length, 1.0)[:, None], 0.0)
+    a = jnp.abs(s)
+    smax = jnp.max(a, axis=1)
+    dom = jnp.where(smax == a[:, 2], 2, jnp.where(smax == a[:, 1], 1, 0))
+    absdom = jnp.take_along_axis(a, dom[:, None], axis=1)[:, 0]
+    ok = ok & (absdom > 0)
+    safe = jnp.where(absdom > 0, absdom, 1.0)
+    step = s / safe[:, None]
+    delta = 1.0 / safe
+    budget = jnp.where(ok, length - 1.0, -1.0)
+    return start, step, delta, budget, dom
+
+
+def ray_pass_counts_xla(
+    cfg: GvomConfig,
+    points: jnp.ndarray,
+    keep: jnp.ndarray,
+    ego_position: jnp.ndarray,
+    origin: jnp.ndarray,
+) -> jnp.ndarray:
+    """Portable scatter-add implementation."""
+    shape = cfg.grid_shape
+    start, step, delta, budget, _ = ray_geometry(cfg, points, keep, ego_position)
+    size = gridops.size_vector(cfg)
+    # origin subtraction is folded into the start once, so the per-step
+    # position is exactly `start_rel + k*step` — the same two-op expression
+    # the oracle evaluates (no reassociation freedom for the compiler)
+    start_rel = start - origin.astype(jnp.float32)
+
+    def body(k, acc):
+        kf = k.astype(jnp.float32)
+        pos = start_rel[None, :] + kf * step
+        vox = jnp.floor(pos).astype(jnp.int32)
+        inb = jnp.all((vox >= 0) & (vox < size[None, :]), axis=1)
+        act = ((kf - 1.0) * delta < budget) & inb
+        vc = jnp.where(act[:, None], vox, 0)
+        return acc.at[vc[:, 0], vc[:, 1], vc[:, 2]].add(act.astype(jnp.int32))
+
+    return jax.lax.fori_loop(1, cfg.ray_steps + 1, body, jnp.zeros(shape, jnp.int32))
+
+
+def ray_pass_counts(
+    cfg: GvomConfig,
+    points: jnp.ndarray,
+    keep: jnp.ndarray,
+    ego_position: jnp.ndarray,
+    origin: jnp.ndarray,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    if impl in ("auto", "matmul"):
+        try:
+            from gvom_tpu.ops import pallas_kernels
+
+            if impl == "matmul" or pallas_kernels.use_fast_path():
+                return pallas_kernels.ray_pass_counts_matmul(cfg, points, keep, ego_position, origin)
+        except ImportError:
+            pass
+    return ray_pass_counts_xla(cfg, points, keep, ego_position, origin)

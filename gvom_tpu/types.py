@@ -1,0 +1,147 @@
+"""Pytree state containers.
+
+The reference holds six parallel Python lists of device arrays guarded by
+semaphores (gvom.py:56-67) plus `last_combined_*` attributes (gvom.py:77-83).
+Here every piece of engine state is an immutable pytree threaded through jitted
+pure functions — which is what makes the ring buffer race-free by construction
+and the whole pipeline shardable with jax.sharding.
+
+Dense-grid encoding (replaces the reference's index_map int encoding,
+gvom.py:1152-1159):
+    occupied          <=> hit > 0
+    observed-empty    <=> hit == 0 and miss > 0     (reference: index == -miss-1)
+    unobserved        <=> hit == 0 and miss == 0    (reference: index == -1)
+`total_count` of the reference equals `hit + miss` here.
+
+Moments are Chan-style: n (neighborhood point count, reference metrics[9]),
+mean (3, in map-local voxel units: p/res - origin), m2 (6 centered second-moment
+sums, so reference covariance == m2/n; upper triangle order xx,xy,xz,yy,yz,zz,
+matching gvom.py:849-850).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gvom_tpu.config import GvomConfig
+
+__all__ = [
+    "VoxelGrid",
+    "WorldState",
+    "BufferState",
+    "MapProducts",
+    "empty_voxel_grid",
+    "empty_world_state",
+    "empty_buffer_state",
+    "UNKNOWN_HEIGHT",
+]
+
+# Sentinel for "no height measured" in the 2D maps (reference −1000.0, gvom.py:289).
+UNKNOWN_HEIGHT = -1000.0
+
+
+class VoxelGrid(NamedTuple):
+    """One dense ego-centered voxel map (a single scan's map, or a fused map).
+
+    origin is in voxel units per axis (x,y in xy_resolution units, z in
+    z_resolution units), following gvom.py:123-126.
+    """
+
+    hit: jnp.ndarray         # [X, Y, Z] int32 — lidar endpoint hits
+    miss: jnp.ndarray        # [X, Y, Z] int32 — ray pass-throughs (data channel; reference total = hit+miss)
+    evidence: jnp.ndarray    # [X, Y, Z] int32 — index-map negative evidence: pass count while the
+                             #   voxel is unoccupied (reference index == -evidence-1, gvom.py:962-997).
+                             #   Distinct from `miss`: once occupied, misses feed totals, not evidence.
+    min_height: jnp.ndarray  # [X, Y, Z] float32 — sub-voxel z of lowest point, init 1.0 (gvom.py:1014)
+    n: jnp.ndarray           # [X, Y, Z] float32 — neighborhood point count (metrics[9])
+    mean: jnp.ndarray        # [3, X, Y, Z] float32 — mean point position, map-local voxel units
+    m2: jnp.ndarray          # [6, X, Y, Z] float32 — centered second-moment sums (xx,xy,xz,yy,yz,zz)
+    origin: jnp.ndarray      # [3] int32 — grid origin in voxel units
+
+    @property
+    def occupied(self) -> jnp.ndarray:
+        return self.hit > 0
+
+    @property
+    def total(self) -> jnp.ndarray:
+        return self.hit + self.miss
+
+
+class WorldState(NamedTuple):
+    """The persistent fused map (reference `last_combined_*`, gvom.py:77-83)."""
+
+    grid: VoxelGrid
+    valid: jnp.ndarray       # [] bool — False until the first combine (no previous map)
+
+
+class BufferState(NamedTuple):
+    """Functional ring buffer of per-scan voxel maps (reference gvom.py:56-67).
+
+    Slot arrays are stacked along a leading buffer axis. `cursor` is the next
+    insertion slot; `slot_valid` marks slots that hold a real scan. `last_slot`
+    mirrors the reference's `last_buffer_index` (gvom.py:58) — the most recent
+    scan, whose origin becomes the combined-map origin (gvom.py:184).
+    """
+
+    grids: VoxelGrid         # each leaf has leading dim [B, ...]
+    slot_valid: jnp.ndarray  # [B] bool
+    cursor: jnp.ndarray      # [] int32
+    last_slot: jnp.ndarray   # [] int32
+
+
+class MapProducts(NamedTuple):
+    """All 2D outputs of one combine step (reference gvom.py:286-354)."""
+
+    origin: jnp.ndarray                 # [3] int32, voxel units (world = origin * resolution)
+    height: jnp.ndarray                 # [X, Y] f32, UNKNOWN_HEIGHT sentinel where unknown
+    inferred_height: jnp.ndarray        # [X, Y] f32
+    slope_x: jnp.ndarray                # [X, Y] f32 (rad)
+    slope_y: jnp.ndarray                # [X, Y] f32 (rad)
+    roughness: jnp.ndarray              # [X, Y] f32 (log plane-fit MSE; -1 where undefined)
+    guessed_height_delta: jnp.ndarray   # [X, Y] f32
+    positive_obstacle: jnp.ndarray      # [X, Y] int32 (0-100 density, 100 on slope trigger)
+    negative_obstacle: jnp.ndarray      # [X, Y] int32 (0 or 100)
+    visibility: jnp.ndarray             # [X, Y] int32 (0/1)
+
+    def origin_world(self, cfg: GvomConfig) -> np.ndarray:
+        o = np.asarray(self.origin, dtype=np.float64)
+        return o * np.array([cfg.xy_resolution, cfg.xy_resolution, cfg.z_resolution])
+
+
+# ----------------------------------------------------------------------
+# constructors
+
+
+def empty_voxel_grid(cfg: GvomConfig) -> VoxelGrid:
+    x, y, z = cfg.grid_shape
+    return VoxelGrid(
+        hit=jnp.zeros((x, y, z), jnp.int32),
+        miss=jnp.zeros((x, y, z), jnp.int32),
+        evidence=jnp.zeros((x, y, z), jnp.int32),
+        min_height=jnp.ones((x, y, z), jnp.float32),
+        n=jnp.zeros((x, y, z), jnp.float32),
+        mean=jnp.zeros((3, x, y, z), jnp.float32),
+        m2=jnp.zeros((6, x, y, z), jnp.float32),
+        origin=jnp.zeros((3,), jnp.int32),
+    )
+
+
+def empty_world_state(cfg: GvomConfig) -> WorldState:
+    return WorldState(grid=empty_voxel_grid(cfg), valid=jnp.asarray(False))
+
+
+def _stack(grid: VoxelGrid, b: int) -> VoxelGrid:
+    return VoxelGrid(*[jnp.broadcast_to(leaf, (b,) + leaf.shape).copy() for leaf in grid])
+
+
+def empty_buffer_state(cfg: GvomConfig) -> BufferState:
+    b = cfg.buffer_size
+    return BufferState(
+        grids=_stack(empty_voxel_grid(cfg), b),
+        slot_valid=jnp.zeros((b,), bool),
+        cursor=jnp.asarray(0, jnp.int32),
+        last_slot=jnp.asarray(0, jnp.int32),
+    )
