@@ -55,15 +55,19 @@ def ingest_scan(
     ego_position: jnp.ndarray,
     transform: Optional[jnp.ndarray] = None,
     raycast_impl: str = "auto",
+    origin: Optional[jnp.ndarray] = None,
 ) -> Tuple[VoxelGrid, jnp.ndarray]:
     """One scan → dense voxel map. Returns (grid, scan_ok).
 
     scan_ok is False when the scan produced zero occupied voxels — the
     reference drops such scans without buffering them (gvom.py:148-150).
+    `origin` pins the map frame (batched replay rasterizes all scans into a
+    common frame); default is the reference's ego-centered origin.
     """
     ego = ego_position.astype(jnp.float32)
     p, keep = binning.prepare_points(cfg, points, valid, ego, transform)
-    origin = gridops.compute_origin(cfg, ego)
+    if origin is None:
+        origin = gridops.compute_origin(cfg, ego)
     bins = binning.bin_points(cfg, p, keep, origin)
     passes = raycast.ray_pass_counts(cfg, p, keep, ego, origin, impl=raycast_impl)
     n, mean, m2 = moments.box_aggregate_moments(cfg, bins)
