@@ -1,0 +1,111 @@
+"""Scan-log replay drivers.
+
+Two modes:
+  * sequential_replay — feeds a log through the facade exactly like the live
+    node (parity runs, latency measurement).
+  * batched_replay    — BASELINE config #4/#5: stacks (scan, pose) pairs and
+    runs the sharded batched step over a device mesh, one world snapshot per
+    batch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from gvom_tpu.config import GvomConfig
+from gvom_tpu.engine.gvom import Gvom
+from gvom_tpu.io.logio import ScanLog
+from gvom_tpu.utils.metrics import StepMetrics
+
+__all__ = ["sequential_replay", "batched_replay"]
+
+
+def sequential_replay(
+    cfg: GvomConfig,
+    log: ScanLog,
+    combine_every: int = 1,
+    raycast_impl: str = "auto",
+) -> Tuple[Gvom, List, StepMetrics]:
+    engine = Gvom(config=cfg, raycast_impl=raycast_impl)
+    metrics = StepMetrics()
+    outputs = []
+    for i, (points, ego, transform) in enumerate(log):
+        t0 = time.perf_counter()
+        engine.process_pointcloud(points, ego, transform)
+        metrics.record("ingest_s", time.perf_counter() - t0)
+        metrics.bump("scans")
+        if (i + 1) % combine_every == 0:
+            t0 = time.perf_counter()
+            out = engine.combine_maps()
+            metrics.record("combine_s", time.perf_counter() - t0)
+            metrics.bump("combines")
+            outputs.append(out)
+    return engine, outputs, metrics
+
+
+def batched_replay(
+    cfg: GvomConfig,
+    log: ScanLog,
+    batch_size: int,
+    mesh=None,
+    raycast_impl: str = "auto",
+):
+    """Run the log through the sharded batched step, `batch_size` scans per
+    step. Returns (final world, list of per-batch MapProducts, metrics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gvom_tpu.io.synthetic import pad_scan
+    from gvom_tpu.parallel.mesh import make_mesh
+    from gvom_tpu.parallel.sharding import make_batched_step
+    from gvom_tpu.types import empty_world_state
+
+    if mesh is None:
+        mesh = make_mesh()
+    step = make_batched_step(cfg, mesh, raycast_impl)
+    world = empty_world_state(cfg)
+    metrics = StepMetrics()
+    products_list = []
+
+    batch_pts, batch_mask, batch_ego = [], [], []
+
+    def flush():
+        nonlocal world
+        if not batch_pts:
+            return
+        # pad the batch to a full data-axis multiple with dead scans
+        data_n = mesh.shape["data"]
+        while len(batch_pts) % data_n != 0:
+            batch_pts.append(np.zeros_like(batch_pts[0]))
+            batch_mask.append(np.zeros_like(batch_mask[0]))
+            batch_ego.append(batch_ego[-1])
+        t0 = time.perf_counter()
+        world, products = step(
+            world,
+            jnp.asarray(np.stack(batch_pts)),
+            jnp.asarray(np.stack(batch_mask)),
+            jnp.asarray(np.stack(batch_ego)),
+        )
+        jax.block_until_ready(world)
+        metrics.record("batch_s", time.perf_counter() - t0)
+        metrics.bump("scans", len(batch_pts))
+        metrics.bump("batches")
+        products_list.append(products)
+        batch_pts.clear()
+        batch_mask.clear()
+        batch_ego.clear()
+
+    for points, ego, transform in log:
+        if transform is not None:
+            points = np.asarray(points) @ np.asarray(transform)[:3, :3].T + np.asarray(transform)[:3, 3]
+        pts, mask = pad_scan(np.asarray(points), cfg.max_points)
+        batch_pts.append(pts)
+        batch_mask.append(mask)
+        batch_ego.append(np.asarray(ego, np.float32))
+        if len(batch_pts) >= batch_size:
+            flush()
+    flush()
+    return world, products_list, metrics

@@ -26,7 +26,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gvom_tpu.config import GvomConfig
@@ -218,7 +218,7 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
             P(DATA_AXIS, None),
         ),
         out_specs=(world_pspecs(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 

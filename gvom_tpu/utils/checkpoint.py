@@ -1,0 +1,57 @@
+"""Checkpoint / resume.
+
+The reference's only persistent state is the last_combined_* rotation carrying
+the fused map across cycles (gvom.py:268-274) — lost on crash. Here the world
+state is a pytree: snapshot with orbax when available, .npz otherwise; resume
+= load + continue replay.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvom_tpu.config import GvomConfig
+from gvom_tpu.types import VoxelGrid, WorldState
+
+__all__ = ["save_world", "load_world"]
+
+_FIELDS = list(VoxelGrid._fields)
+
+
+def save_world(path: str, world: WorldState, cfg: Optional[GvomConfig] = None) -> str:
+    """Snapshot the world state. Uses orbax if importable, else .npz."""
+    try:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"grid": world.grid._asdict(), "valid": world.valid}, force=True)
+        ckptr.wait_until_finished()
+        return path
+    except Exception:
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        arrs = {f: np.asarray(getattr(world.grid, f)) for f in _FIELDS}
+        arrs["valid"] = np.asarray(world.valid)
+        if cfg is not None:
+            arrs["config_json"] = np.frombuffer(cfg.to_json().encode(), dtype=np.uint8)
+        np.savez_compressed(path, **arrs)
+        return path
+
+
+def load_world(path: str) -> WorldState:
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        data = ckptr.restore(path)
+        grid = VoxelGrid(**{k: jnp.asarray(v) for k, v in data["grid"].items()})
+        return WorldState(grid=grid, valid=jnp.asarray(data["valid"]))
+    with np.load(path) as z:
+        grid = VoxelGrid(**{f: jnp.asarray(z[f]) for f in _FIELDS})
+        return WorldState(grid=grid, valid=jnp.asarray(bool(z["valid"])))

@@ -1,0 +1,144 @@
+"""Component tests: host node layer math, scan logs, replay, checkpoint,
+PointCloud2 deserialization (Python + native C), config system."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from gvom_tpu.config import GvomConfig, load_config
+from gvom_tpu.engine.node import VoxelMapperNode
+from gvom_tpu.engine.replay import sequential_replay
+from gvom_tpu.io import synthetic
+from gvom_tpu.io.logio import ScanLog, load_log, save_log, synthesize_log
+from gvom_tpu.io.pointcloud2 import CloudSpec, PointField, native_available, pointcloud2_to_xyz
+from gvom_tpu.utils.checkpoint import load_world, save_world
+from gvom_tpu.utils.metrics import StepMetrics
+
+
+def test_config_aliases_and_validation():
+    cfg = GvomConfig.from_dict({"width": 128, "height": 32, "slope_obsacle_threshold": 0.25, "freq": 5.0})
+    assert cfg.xy_size == 128 and cfg.z_size == 32
+    assert cfg.slope_obstacle_threshold == 0.25 and cfg.combine_freq == 5.0
+    with pytest.raises(ValueError):
+        GvomConfig.from_dict({"bogus_key": 1})
+    with pytest.raises(ValueError):
+        GvomConfig(buffer_size=0).validate()
+
+
+def test_config_file_roundtrip(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(GvomConfig(xy_size=32, z_size=16).to_json())
+    cfg = load_config(str(p), overrides={"buffer_size": 2})
+    assert cfg.xy_size == 32 and cfg.buffer_size == 2
+
+
+def test_node_layer_math(small_cfg):
+    node = VoxelMapperNode(config=small_cfg, raycast_impl="xla")
+    published = {}
+    node.publisher = lambda name, data, meta: published.setdefault(name, data)
+    ego = np.array([0.3, -0.2, 1.5])
+    node.on_odometry(ego)
+    pts = synthetic.simulate_lidar_scan(
+        synthetic.composite_terrain(), ego, channels=32, azimuth_steps=64, max_range=25.0
+    )
+    assert node.on_pointcloud(pts)
+    layers = node.publish_maps()
+    assert layers is not None
+    for name in (
+        "hard_obstacle_map", "soft_obstacle_map", "negative_obstacle_map",
+        "ground_certainty_map", "roughness_map", "positive_obstacle_map",
+    ):
+        assert name in published
+    pos = layers["positive_obstacle_map"]
+    hard = layers["hard_obstacle_map"]
+    soft = layers["soft_obstacle_map"]
+    neg = layers["negative_obstacle_map"]
+    np.testing.assert_array_equal(
+        hard, np.maximum(100 * (pos > small_cfg.density_threshold), neg).astype(np.int8)
+    )
+    np.testing.assert_array_equal(
+        soft, (100 * (pos <= small_cfg.density_threshold) * (pos > 0)).astype(np.int8)
+    )
+    # no odom -> refused
+    node2 = VoxelMapperNode(config=small_cfg)
+    assert not node2.on_pointcloud(pts)
+
+
+def test_scan_log_roundtrip(tmp_path):
+    log = synthesize_log(3, channels=8, azimuth_steps=16, max_range=10.0)
+    p = str(tmp_path / "log.npz")
+    save_log(p, log)
+    log2 = load_log(p)
+    assert len(log2) == 3
+    np.testing.assert_allclose(log2[1][0], log[1][0])
+    np.testing.assert_allclose(log2[1][1], log[1][1])
+
+
+def test_sequential_replay(small_cfg):
+    log = synthesize_log(3, channels=16, azimuth_steps=32, max_range=15.0)
+    engine, outputs, metrics = sequential_replay(small_cfg, log, raycast_impl="xla")
+    assert len(outputs) == 3 and outputs[-1] is not None
+    snap = metrics.snapshot()
+    assert snap["counters"]["scans"] == 3 and snap["counters"]["combines"] == 3
+
+
+def test_checkpoint_roundtrip(small_cfg, tmp_path):
+    from gvom_tpu.types import empty_world_state
+    import jax.numpy as jnp
+
+    world = empty_world_state(small_cfg)
+    world = world._replace(
+        grid=world.grid._replace(hit=world.grid.hit.at[1, 2, 3].set(7)), valid=jnp.asarray(True)
+    )
+    p = save_world(str(tmp_path / "world"), world, small_cfg)
+    w2 = load_world(p)
+    assert int(w2.grid.hit[1, 2, 3]) == 7
+    assert bool(w2.valid)
+
+
+def _make_cloud_bytes(xyz, point_step=16, dtype=np.float32):
+    n = len(xyz)
+    buf = np.zeros((n, point_step), np.uint8)
+    itemsize = np.dtype(dtype).itemsize
+    for i, off in enumerate((0, itemsize, 2 * itemsize)):
+        buf[:, off : off + itemsize] = (
+            xyz[:, i].astype(dtype).view(np.uint8).reshape(n, itemsize)
+        )
+    fields = [
+        PointField("x", 0, 7 if dtype == np.float32 else 8),
+        PointField("y", itemsize, 7 if dtype == np.float32 else 8),
+        PointField("z", 2 * itemsize, 7 if dtype == np.float32 else 8),
+    ]
+    return buf.tobytes(), CloudSpec(fields=fields, point_step=point_step, width=n)
+
+
+def test_pointcloud2_python_path():
+    xyz = np.array([[1.0, 2.0, 3.0], [np.nan, 0.0, 0.0], [4.0, 5.0, 6.0]], np.float32)
+    data, spec = _make_cloud_bytes(xyz)
+    out = pointcloud2_to_xyz(data, spec, use_native=False)
+    np.testing.assert_allclose(out, xyz[[0, 2]])
+
+
+def test_pointcloud2_native_path():
+    if not native_available():
+        pytest.skip("no C toolchain")
+    xyz = np.array([[1.0, 2.0, 3.0], [np.nan, 0.0, 0.0], [4.0, 5.0, 6.0]], np.float32)
+    data, spec = _make_cloud_bytes(xyz, point_step=20)
+    out = pointcloud2_to_xyz(data, spec, use_native=True)
+    np.testing.assert_allclose(out, xyz[[0, 2]])
+    # f64 fields too
+    xyz64 = np.array([[1.5, -2.0, 0.25]], np.float64)
+    data, spec = _make_cloud_bytes(xyz64, point_step=32, dtype=np.float64)
+    out = pointcloud2_to_xyz(data, spec, use_native=True)
+    np.testing.assert_allclose(out, xyz64, atol=1e-6)
+
+
+def test_metrics():
+    m = StepMetrics()
+    m.bump("scans", 3)
+    m.record("t", 0.5)
+    snap = m.snapshot()
+    assert snap["counters"]["scans"] == 3
+    assert snap["timings"]["t"]["n"] == 1

@@ -1,0 +1,101 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4):
+sharded batched step vs a single-device reference computation, batched
+replay driver, and the driver entry points."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gvom_tpu.io import synthetic
+from gvom_tpu.io.logio import synthesize_log
+from gvom_tpu.models import pipeline
+from gvom_tpu.parallel.mesh import factor_devices, make_mesh
+from gvom_tpu.parallel.sharding import make_batched_step
+from gvom_tpu.types import empty_world_state
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    from gvom_tpu.config import GvomConfig
+
+    return GvomConfig(xy_size=32, z_size=16, max_points=1024, buffer_size=2)
+
+
+def _scan_batch(cfg, n):
+    scans, masks, egos = [], [], []
+    ego = np.array([0.3, -0.2, 1.5])
+    for i in range(n):
+        ego = ego + np.array([0.15, 0.1, 0.0])
+        pts = synthetic.simulate_lidar_scan(
+            synthetic.composite_terrain(), ego, channels=8, azimuth_steps=32, max_range=10.0, seed=i
+        )
+        pad, mask = synthetic.pad_scan(pts, cfg.max_points)
+        scans.append(pad)
+        masks.append(mask)
+        egos.append(ego.astype(np.float32))
+    return jnp.asarray(np.stack(scans)), jnp.asarray(np.stack(masks)), jnp.asarray(np.stack(egos))
+
+
+def test_factor_devices():
+    assert factor_devices(8) == (4, 2)
+    assert factor_devices(8, space=4) == (2, 4)
+    with pytest.raises(ValueError):
+        factor_devices(8, space=3)
+
+
+def test_batched_step_matches_mesh_sizes(tiny_cfg):
+    """The same batch produces identical products on 8-device and 1-device
+    meshes (the collectives are associative reductions)."""
+    scans, masks, egos = _scan_batch(tiny_cfg, 8)
+    out = {}
+    for ndev in (1, 8):
+        mesh = make_mesh(jax.devices()[:ndev])
+        step = make_batched_step(tiny_cfg, mesh, raycast_impl="xla")
+        world = empty_world_state(tiny_cfg)
+        w2, products = step(world, scans, masks, egos)
+        out[ndev] = (np.asarray(products.visibility), np.asarray(products.positive_obstacle),
+                     np.asarray(products.height), np.asarray(w2.grid.hit))
+    np.testing.assert_array_equal(out[1][0], out[8][0])
+    np.testing.assert_allclose(out[1][2], out[8][2], atol=1e-5)
+    np.testing.assert_array_equal(out[1][3], out[8][3])
+    # positive obstacles: exclude singular plane fits (different mesh sizes
+    # fuse float ops differently; det==0 cells flip arbitrarily)
+    from helpers import singular_fit_mask
+    ok = ~singular_fit_mask(out[1][2].astype(np.float64), tiny_cfg.xy_resolution)
+    np.testing.assert_array_equal(out[1][1][ok], out[8][1][ok])
+    assert out[8][0].sum() > 0
+
+
+def test_batched_step_world_persistence(tiny_cfg):
+    """Second step revives/decays against the first step's world."""
+    mesh = make_mesh(jax.devices()[:8])
+    step = make_batched_step(tiny_cfg, mesh, raycast_impl="xla")
+    world = empty_world_state(tiny_cfg)
+    scans, masks, egos = _scan_batch(tiny_cfg, 8)
+    world, p1 = step(world, scans, masks, egos)
+    assert bool(world.valid)
+    world2, p2 = step(world, scans, masks, egos)
+    # re-observing the same scene: world hit counts grow
+    assert int(np.asarray(world2.grid.hit).sum()) >= int(np.asarray(world.grid.hit).sum())
+
+
+def test_batched_replay_driver(tiny_cfg):
+    from gvom_tpu.engine.replay import batched_replay
+
+    log = synthesize_log(8, channels=8, azimuth_steps=32, max_range=10.0)
+    world, products, metrics = batched_replay(tiny_cfg, log, batch_size=8, raycast_impl="xla")
+    assert bool(world.valid)
+    assert metrics.snapshot()["counters"]["scans"] == 8
+    assert len(products) == 1
+
+
+def test_graft_entry_points():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out[0].shape == out[1].shape
+    __graft_entry__.dryrun_multichip(8)

@@ -15,6 +15,7 @@ from gvom_tpu.oracle import NumpyOracle
 from gvom_tpu.types import UNKNOWN_HEIGHT, empty_buffer_state, empty_world_state
 
 from conftest import make_scan
+from helpers import singular_fit_mask
 
 
 def run_pair(cfg, egos, terrain, n_combines_between=1):
@@ -74,32 +75,6 @@ def test_height_map(runs):
 def test_inferred_height_map(runs):
     for snap, o_out, products in runs:
         np.testing.assert_allclose(np.asarray(products.inferred_height), snap["inferred"], atol=1e-4)
-
-
-def singular_fit_mask(hm, res):
-    """Cells whose 3×3 plane fit is (near-)singular: det == 0 mathematically
-    (e.g. exactly 3 collinear known cells). The fit's det!=0 guard then keys
-    off pure rounding noise — f64 reference, f32 engine, and the original GPU
-    kernel all produce arbitrary results there. Excluded from parity."""
-    X = hm.shape[0]
-    known = hm > -1000
-    cnt = np.zeros_like(hm)
-    sx = np.zeros_like(hm); sy = np.zeros_like(hm)
-    sxx = np.zeros_like(hm); sxy = np.zeros_like(hm); syy = np.zeros_like(hm)
-    for di in (-1, 0, 1):
-        for dj in (-1, 0, 1):
-            s0 = slice(max(0, -di), min(X, X - di)); s1 = slice(max(0, -dj), min(X, X - dj))
-            t0 = slice(max(0, di), min(X, X + di)); t1 = slice(max(0, dj), min(X, X + dj))
-            k = np.zeros_like(hm); k[s0, s1] = known[t0, t1]
-            cnt += k; sx += di * res * k; sy += dj * res * k
-            sxx += (di * res) ** 2 * k; sxy += di * dj * res * res * k; syy += (dj * res) ** 2 * k
-    c = np.maximum(cnt, 1)
-    xx = sxx - (sx * sx) / c
-    xy = sxy - (sx * sy) / c
-    yy = syy - (sy * sy) / c
-    det = xx * yy - xy * xy
-    scale = np.maximum(xx * yy, 1e-12)
-    return (cnt < 3) | (np.abs(det) <= 1e-4 * scale)
 
 
 def test_slope_and_roughness(runs, small_cfg):
