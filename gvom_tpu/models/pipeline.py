@@ -56,6 +56,7 @@ def ingest_scan(
     transform: Optional[jnp.ndarray] = None,
     raycast_impl: str = "auto",
     origin: Optional[jnp.ndarray] = None,
+    binning_impl: str = "auto",
 ) -> Tuple[VoxelGrid, jnp.ndarray]:
     """One scan → dense voxel map. Returns (grid, scan_ok).
 
@@ -68,15 +69,28 @@ def ingest_scan(
     p, keep = binning.prepare_points(cfg, points, valid, ego, transform)
     if origin is None:
         origin = gridops.compute_origin(cfg, ego)
-    bins = binning.bin_points(cfg, p, keep, origin)
     passes = raycast.ray_pass_counts(cfg, p, keep, ego, origin, impl=raycast_impl)
-    n, mean, m2 = moments.box_aggregate_moments(cfg, bins)
-    occ = bins.hit > 0
+
+    use_fused = False
+    if binning_impl in ("auto", "fused"):
+        from gvom_tpu.ops import pallas_kernels
+
+        use_fused = binning_impl == "fused" or pallas_kernels.use_fast_path()
+    if use_fused:
+        from gvom_tpu.ops import pallas_kernels
+
+        hit, n, mean, m2 = pallas_kernels.fused_point_moments(cfg, p, keep, origin)
+        min_height = binning.scatter_min_height(cfg, p, keep, origin)
+    else:
+        bins = binning.bin_points(cfg, p, keep, origin)
+        hit, min_height = bins.hit, bins.min_height
+        n, mean, m2 = moments.box_aggregate_moments(cfg, bins)
+    occ = hit > 0
     grid = VoxelGrid(
-        hit=bins.hit,
+        hit=hit,
         miss=passes,
         evidence=jnp.where(occ, 0, passes),
-        min_height=bins.min_height,
+        min_height=min_height,
         n=jnp.where(occ, n, 0.0),
         mean=jnp.where(occ[None], mean, 0.0),
         m2=jnp.where(occ[None], m2, 0.0),

@@ -137,11 +137,23 @@ def slope_and_roughness(cfg: GvomConfig, hm: jnp.ndarray) -> Tuple[jnp.ndarray, 
     return slope_x, slope_y, rough
 
 
-def _nearest_known_fwd(idx_if_known: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """nk[i] = min{i' >= i : known[i']} along axis, _BIG if none."""
-    rev = jnp.flip(idx_if_known, axis=axis)
-    acc = jax.lax.associative_scan(jnp.minimum, rev, axis=axis)
-    return jnp.flip(acc, axis=axis)
+def _nearest_known_with_value(known: jnp.ndarray, idx: jnp.ndarray, hm: jnp.ndarray, axis: int):
+    """(nearest index >= i with known[index], its height) along `axis`.
+
+    Flip, then an associative 'rightmost-valid-wins' scan: after flipping,
+    positions later in scan order are original indices closer to the query
+    from above, so keeping the latest valid element yields the nearest."""
+    flipped = tuple(jnp.flip(a, axis=axis) for a in (known, idx, hm))
+
+    def combine(a, b):
+        av, ai, ah = a
+        bv, bi, bh = b
+        return (av | bv, jnp.where(bv, bi, ai), jnp.where(bv, bh, ah))
+
+    out = jax.lax.associative_scan(combine, flipped, axis=axis)
+    valid, oi, oh = tuple(jnp.flip(a, axis=axis) for a in out)
+    oi = jnp.where(valid, oi, _BIG)
+    return oi, oh
 
 
 def guess_height_delta(cfg: GvomConfig, hm: jnp.ndarray, ihm: jnp.ndarray) -> jnp.ndarray:
@@ -158,8 +170,8 @@ def guess_height_delta(cfg: GvomConfig, hm: jnp.ndarray, ihm: jnp.ndarray) -> jn
 
     yidx = jax.lax.broadcasted_iota(jnp.int32, (X, X), 1)
     xidx = jax.lax.broadcasted_iota(jnp.int32, (X, X), 0)
-    nk_y = _nearest_known_fwd(jnp.where(known, yidx, _BIG), axis=1)   # along y, per row
-    nk_x = _nearest_known_fwd(jnp.where(known, xidx, _BIG), axis=0)   # along x, per column
+    ny_idx, ny_val = _nearest_known_with_value(known, yidx, hm, axis=1)  # along y, per row
+    nx_idx, nx_val = _nearest_known_with_value(known, xidx, hm, axis=0)  # along x, per column
 
     x0 = xidx
     y0 = yidx
@@ -170,57 +182,48 @@ def guess_height_delta(cfg: GvomConfig, hm: jnp.ndarray, ihm: jnp.ndarray) -> jn
     hval = {d: jnp.full((X, X), UH) for d in ("xp", "xn", "yp", "yn")}
     running = jnp.ones((X, X), bool)
 
-    def window_first(nk, shifted_axis, i, lo, hi, row_shift):
-        """First known index in scan order within [lo,hi] on the line offset
-        row_shift from the cell, using precomputed nearest-known indices.
+    def row_query(n_idx, n_val, row_shift, lo_shift):
+        """(cand_idx, cand_val) of the first known at column >= y0+lo_shift in
+        row x0+row_shift — all static shifts (the window start clamps to 0 by
+        broadcasting the row's column 0)."""
+        shifted_i = _shift2(n_idx, row_shift, lo_shift, _BIG)
+        shifted_v = _shift2(n_val, row_shift, lo_shift, UNKNOWN_HEIGHT)
+        row_i = _shift2(n_idx, row_shift, 0, _BIG)
+        row_v = _shift2(n_val, row_shift, 0, UNKNOWN_HEIGHT)
+        clamped = y0 + lo_shift < 0
+        cand = jnp.where(clamped, jnp.broadcast_to(row_i[:, 0:1], (X, X)), shifted_i)
+        val = jnp.where(clamped, jnp.broadcast_to(row_v[:, 0:1], (X, X)), shifted_v)
+        return cand, val
 
-        nk is indexed at the shifted row/column; returns (found, cand_idx)."""
-        if shifted_axis == 0:
-            nk_sh = _shift2(nk, row_shift, 0, _BIG)      # row x0+row_shift, scan along y
-        else:
-            nk_sh = _shift2(nk, 0, row_shift, _BIG)      # column y0+row_shift, scan along x
-        lo_c = jnp.clip(lo, 0, X - 1)
-        if shifted_axis == 0:
-            cand = jnp.take_along_axis(nk_sh, lo_c, axis=1)
-        else:
-            cand = jnp.take_along_axis(nk_sh, lo_c, axis=0)
-        found = (cand <= jnp.minimum(hi, X - 1)) & (lo <= hi)
-        return found, jnp.clip(cand, 0, X - 1)
+    def col_query(n_idx, n_val, col_shift, lo_shift):
+        shifted_i = _shift2(n_idx, lo_shift, col_shift, _BIG)
+        shifted_v = _shift2(n_val, lo_shift, col_shift, UNKNOWN_HEIGHT)
+        col_i = _shift2(n_idx, 0, col_shift, _BIG)
+        col_v = _shift2(n_val, 0, col_shift, UNKNOWN_HEIGHT)
+        clamped = x0 + lo_shift < 0
+        cand = jnp.where(clamped, jnp.broadcast_to(col_i[0:1, :], (X, X)), shifted_i)
+        val = jnp.where(clamped, jnp.broadcast_to(col_v[0:1, :], (X, X)), shifted_v)
+        return cand, val
+
+    def update(d, active, oob, found, val):
+        take = active & ~done[d] & ~oob & found
+        hval[d] = jnp.where(take, val, hval[d])
+        done[d] = done[d] | (active & ~done[d] & (oob | found))
 
     for i in range(1, R + 1):
         active = running
         # x_p: row x0+i, dy in [-i, i-1] (gvom.py:588-599)
-        f, cand = window_first(nk_y, 0, i, y0 - i, y0 + i - 1, i)
-        hm_row = _shift2(hm, i, 0, UNKNOWN_HEIGHT)
-        val = jnp.take_along_axis(hm_row, cand, axis=1)
-        oob = x0 + i >= X
-        take = active & ~done["xp"] & ~oob & f
-        hval["xp"] = jnp.where(take, val, hval["xp"])
-        done["xp"] = done["xp"] | (active & ~done["xp"] & (oob | f))
+        cand, val = row_query(ny_idx, ny_val, i, -i)
+        update("xp", active, x0 + i >= X, cand <= jnp.minimum(y0 + i - 1, X - 1), val)
         # x_n: row x0-i, dy in [-i+1, i] (gvom.py:601-612)
-        f, cand = window_first(nk_y, 0, i, y0 - i + 1, y0 + i, -i)
-        hm_row = _shift2(hm, -i, 0, UNKNOWN_HEIGHT)
-        val = jnp.take_along_axis(hm_row, cand, axis=1)
-        oob = x0 - i < 0
-        take = active & ~done["xn"] & ~oob & f
-        hval["xn"] = jnp.where(take, val, hval["xn"])
-        done["xn"] = done["xn"] | (active & ~done["xn"] & (oob | f))
+        cand, val = row_query(ny_idx, ny_val, -i, -i + 1)
+        update("xn", active, x0 - i < 0, cand <= jnp.minimum(y0 + i, X - 1), val)
         # y_p: column y0+i, dx in [-i+1, i] (gvom.py:614-625)
-        f, cand = window_first(nk_x, 1, i, x0 - i + 1, x0 + i, i)
-        hm_col = _shift2(hm, 0, i, UNKNOWN_HEIGHT)
-        val = jnp.take_along_axis(hm_col, cand, axis=0)
-        oob = y0 + i >= X
-        take = active & ~done["yp"] & ~oob & f
-        hval["yp"] = jnp.where(take, val, hval["yp"])
-        done["yp"] = done["yp"] | (active & ~done["yp"] & (oob | f))
+        cand, val = col_query(nx_idx, nx_val, i, -i + 1)
+        update("yp", active, y0 + i >= X, cand <= jnp.minimum(x0 + i, X - 1), val)
         # y_n: column y0-i, dx in [-i, i-1] (gvom.py:627-638)
-        f, cand = window_first(nk_x, 1, i, x0 - i, x0 + i - 1, -i)
-        hm_col = _shift2(hm, 0, -i, UNKNOWN_HEIGHT)
-        val = jnp.take_along_axis(hm_col, cand, axis=0)
-        oob = y0 - i < 0
-        take = active & ~done["yn"] & ~oob & f
-        hval["yn"] = jnp.where(take, val, hval["yn"])
-        done["yn"] = done["yn"] | (active & ~done["yn"] & (oob | f))
+        cand, val = col_query(nx_idx, nx_val, -i, -i)
+        update("yn", active, y0 - i < 0, cand <= jnp.minimum(x0 + i - 1, X - 1), val)
         # loop-exit quirk: x_p_done is never tested (gvom.py:581)
         running = running & ~(done["xn"] & done["yp"] & done["yn"])
 

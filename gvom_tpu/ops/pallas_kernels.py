@@ -47,58 +47,109 @@ def use_fast_path() -> bool:
         return False
 
 
-def _hist_kernel(meta_ref, startuv_ref, su_ref, sv_ref, delta_ref, budget_ref, out_ref):
-    """One (group, step) instance: histogram the group's live-ray prefix.
+_SBLOCK = 12  # steps per grid instance — TPU pays ~26µs fixed cost per grid
+               # instance (measured on v5e), so steps are batched to amortize it
 
-    meta_ref (SMEM): [G, S+1, 3] int32 rows of (offset, count, dom_valid)
-    startuv_ref (SMEM): [G, 2] f32 — start_rel components on the (u, v) axes
-    su/sv/delta/budget (VMEM): [Npad] f32 ray params, group-sorted
-    out_ref (VMEM): [1, 1, U, V] f32
-    """
-    g = pl.program_id(0)
-    s = pl.program_id(1) + 1          # steps are 1-based (gvom.py:1127)
-    U = out_ref.shape[2]
-    V = out_ref.shape[3]
-    abase = meta_ref[g, s, 0]         # chunk-aligned window start (Mosaic needs provable alignment)
-    nchunks = meta_ref[g, s, 1]
-    first = meta_ref[g, s, 2]         # live prefix = [first, first+count)
-    count = meta_ref[g, s, 3]
-    dom_ok = meta_ref[g, s, 4]
-    out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when((count > 0) & (dom_ok > 0))
-    def _():
-        sf = s.astype(jnp.float32)
-        start_u = startuv_ref[g, 0]
-        start_v = startuv_ref[g, 1]
+def _hist_kernel_factory(SB: int, PAIRED: bool):
+    def kernel(meta_ref, startuv_ref, su_ref, sv_ref, delta_ref, budget_ref, out_ref):
+        """One (group-pair, step-block) instance.
 
-        def body(c, acc):
-            base = pl.multiple_of(abase + c * _CHUNK, _CHUNK)
+        When PAIRED, each instance covers groups (2a, 2a+1): their chunks are
+        stacked along the contraction dim and the two z one-hots occupy
+        disjoint column halves (block-diagonal B), so one [U, 2V] matmul
+        serves both groups — N=2V=128 fills the MXU, halving pass count vs
+        per-group N=64 matmuls.
+
+        meta_ref (SMEM): [G, S+1, 5] int32 (abase, nchunks, first, count, dom_ok)
+        startuv_ref (SMEM): [G, 2] f32 — start_rel components on the (u, v) axes
+        su/sv/delta/budget (VMEM): [Npad] f32 ray params, group-sorted
+        out_ref (VMEM): [1, SB, U, n_sub*V] f32
+        """
+        a = pl.program_id(0)
+        sb = pl.program_id(1)
+        U = out_ref.shape[2]
+        n_sub = 2 if PAIRED else 1
+        V = out_ref.shape[3] // n_sub
+        iu = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, U), 1)
+        iv2 = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, n_sub * V), 1)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)[:, 0]
+
+        def onehots(g, voff, s, c):
+            """(ohu, ohv) for group g's chunk c at step s; ohv columns offset
+            by voff (the block-diagonal half)."""
+            sf = s * 1.0
+            abase = meta_ref[g, s, 0]
+            nchunks = meta_ref[g, s, 1]
+            first = meta_ref[g, s, 2]
+            count = meta_ref[g, s, 3]
+            dom_ok = meta_ref[g, s, 4]
+            npad = su_ref.shape[0]
+            # clamp: the pair iterates to max(nchunks) — the smaller group's
+            # base must stay in bounds (its lanes are masked dead anyway)
+            base = pl.multiple_of(jnp.minimum(abase + c * _CHUNK, npad - _CHUNK), _CHUNK)
             su = su_ref[pl.ds(base, _CHUNK)]
             sv = sv_ref[pl.ds(base, _CHUNK)]
             delta = delta_ref[pl.ds(base, _CHUNK)]
             budget = budget_ref[pl.ds(base, _CHUNK)]
-            u = jnp.floor(start_u + sf * su).astype(jnp.int32)
-            v = jnp.floor(start_v + sf * sv).astype(jnp.int32)
-            gi = base + jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)[:, 0]
-            live = (gi >= first) & (gi < first + count) & ((sf - 1.0) * delta < budget)
+            u = jnp.floor(startuv_ref[g, 0] + sf * su).astype(jnp.int32)
+            v = jnp.floor(startuv_ref[g, 1] + sf * sv).astype(jnp.int32)
+            gi = base + ii
+            live = (
+                (c < nchunks) & (dom_ok > 0)
+                & (gi >= first) & (gi < first + count)
+                & ((sf - 1.0) * delta < budget)
+            )
             ok = live & (u >= 0) & (u < U) & (v >= 0) & (v < V)
             uu = jnp.where(ok, u, -1)
-            vv = jnp.where(ok, v, -1)
-            ohu = (uu[:, None] == jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, U), 1)).astype(jnp.bfloat16)
-            ohv = (vv[:, None] == jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, V), 1)).astype(jnp.bfloat16)
-            return acc + jax.lax.dot_general(
-                ohu, ohv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            vv = jnp.where(ok, v + voff, -1)
+            return (
+                (uu[:, None] == iu).astype(jnp.bfloat16),
+                (vv[:, None] == iv2).astype(jnp.bfloat16),
             )
 
-        acc = jax.lax.fori_loop(0, nchunks, body, jnp.zeros((U, V), jnp.float32))
-        out_ref[0, 0, :, :] = acc
+        for j in range(SB):
+            s = sb * SB + j + 1          # steps are 1-based (gvom.py:1127)
+            if PAIRED:
+                g0, g1 = 2 * a, 2 * a + 1
+                nch = jnp.maximum(meta_ref[g0, s, 1], meta_ref[g1, s, 1])
+                any_work = (meta_ref[g0, s, 3] > 0) | (meta_ref[g1, s, 3] > 0)
+            else:
+                g0 = a
+                nch = meta_ref[g0, s, 1]
+                any_work = meta_ref[g0, s, 3] > 0
+            out_ref[0, j] = jnp.zeros((U, n_sub * V), jnp.float32)
+
+            @pl.when(any_work)
+            def _(s=s, nch=nch, j=j, g0=g0, a=a):
+                def body(c, acc):
+                    ohu0, ohv0 = onehots(g0, 0, s, c)
+                    if PAIRED:
+                        ohu1, ohv1 = onehots(2 * a + 1, V, s, c)
+                        ohu = jnp.concatenate([ohu0, ohu1], axis=0)
+                        ohv = jnp.concatenate([ohv0, ohv1], axis=0)
+                    else:
+                        ohu, ohv = ohu0, ohv0
+                    return acc + jax.lax.dot_general(
+                        ohu, ohv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                    )
+
+                acc = jax.lax.fori_loop(0, nch, body, jnp.zeros((U, n_sub * V), jnp.float32))
+                out_ref[0, j] = acc
+
+    return kernel
 
 
-def _run_hist(meta, startuv, su, sv, delta, budget, G, S, U, V, interpret=False):
-    return pl.pallas_call(
-        _hist_kernel,
-        grid=(G, S),
+def _run_hist(meta, startuv, su, sv, delta, budget, G, S, U, V, interpret=False, paired=True):
+    SB = _SBLOCK
+    S_pad = ((S + SB - 1) // SB) * SB
+    if meta.shape[1] < S_pad + 1:
+        meta = jnp.pad(meta, ((0, 0), (0, S_pad + 1 - meta.shape[1]), (0, 0)))
+    n_sub = 2 if paired else 1
+    n_inst = G // n_sub
+    out = pl.pallas_call(
+        _hist_kernel_factory(SB, paired),
+        grid=(n_inst, S_pad // SB),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -107,10 +158,16 @@ def _run_hist(meta, startuv, su, sv, delta, budget, G, S, U, V, interpret=False)
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, U, V), lambda g, s: (g, s, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, S, U, V), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, SB, U, n_sub * V), lambda a, sb: (a, sb, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_inst, S_pad, U, n_sub * V), jnp.float32),
         interpret=interpret,
     )(meta, startuv, su, sv, delta, budget)
+    if paired:
+        # [a, s, U, 2V] → [2a+half, s, U, V]
+        out = out.reshape(n_inst, S_pad, U, 2, V).transpose(0, 3, 1, 2, 4).reshape(G, S_pad, U, V)
+    return out[:, :S]
 
 
 def _axis_uv(dom: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -210,12 +267,12 @@ def ray_pass_counts_matmul(
 
     # --- xy-dominant kernel: groups 0..3, hist over (u∈[0,256), v=z) ---
     meta_xy = build_meta([0, 1, 2, 3])
-    hist_xy = _run_hist(meta_xy, startuv[:4], su_s, sv_s, delta_s, budget_s, 4, S, X, Z, interpret)
+    hist_xy = _run_hist(meta_xy, startuv[:4], su_s, sv_s, delta_s, budget_s, 4, S, X, Z, interpret, paired=True)
 
     # --- z-dominant kernel: groups 4..5, hist over (x, y) ---
     meta_z = build_meta([4, 5])
     Sz = min(S, Z + 2)
-    hist_z = _run_hist(meta_z[:, : Sz + 1], startuv[4:], su_s, sv_s, delta_s, budget_s, 2, Sz, X, Y, interpret)
+    hist_z = _run_hist(meta_z[:, : Sz + 1], startuv[4:], su_s, sv_s, delta_s, budget_s, 2, Sz, X, Y, interpret, paired=False)
 
     # --- placement: one-hot matmul over the step axis (exact, no scatter) ---
     out = jnp.zeros((X, Y, Z), jnp.float32)
@@ -242,3 +299,208 @@ def ray_pass_counts_matmul(
         ).reshape(Z, X, Y)
         out = out + contrib.transpose(1, 2, 0)
     return out.astype(jnp.int32)
+
+
+# ======================================================================
+# Fused point binning + neighborhood moment expansion
+# ======================================================================
+#
+# Replaces the reference's endpoint scatter (gvom.py:1084-1090) plus the
+# two-pass ±eigen_dist neighborhood mean/covariance scatter
+# (gvom.py:1170-1299) with ONE MXU kernel. Key identity: the contribution of
+# point p to target voxel v within the support box is a polynomial in
+# (p − v), and (p − v) separates per axis — so every raw-moment channel is
+# Σ_p A_c[p, y]·B_c[p, z] where A/B are windowed one-hot ("w") or windowed
+# coordinate-ramp ("r = (p_y − y)·w") factors built in VMEM:
+#
+#   n: w·w   sx: (x_rel·w)·w   sy: r_y·w   sz: w·r_z
+#   xx: (x²·w)·w  xy: (x·r_y)·w  xz: (x·w)·r_z  yy: r²_y·w  yz: r_y·r_z
+#   zz: w·r²_z    hit: exact one-hots gated on the slice
+#
+# Points sorted by (padded) x voxel; the grid dimension is the x slice; a
+# slice's contributing points (|u_x − x| ≤ r_x) are a contiguous sorted range.
+# f32 one-hot/ramp factors with f32 MXU accumulation keep the reference's
+# numerics (coords are O(1) in the target-local frame — the same conditioning
+# trick the reference uses at gvom.py:1205-1207).
+
+_PCHUNK = 1024
+
+
+_XBLOCK = 2  # x-slices per grid instance (amortizes the ~26µs instance cost
+             # while keeping the [XB, 11, U, V] output block within VMEM)
+
+
+def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, XB: int):
+    def kernel(meta_ref, px_ref, py_ref, pz_ref, out_ref):
+        xb = pl.program_id(0)
+        for j in range(XB):
+            _moment_slice(cfg, U, V, ry, rz, xb * XB + j, j, meta_ref, px_ref, py_ref, pz_ref, out_ref)
+
+    return kernel
+
+
+def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, out_ref):
+        abase = meta_ref[x, 0]
+        nchunks = meta_ref[x, 1]
+        first = meta_ref[x, 2]
+        count = meta_ref[x, 3]
+        for i in range(11):
+            out_ref[j, i] = jnp.zeros((U, V), jnp.float32)
+
+        @pl.when(count > 0)
+        def _():
+            xf = x * 1.0
+
+            def body(c, accs):
+                base = pl.multiple_of(abase + c * _PCHUNK, _PCHUNK)
+                px = px_ref[pl.ds(base, _PCHUNK)]
+                py = py_ref[pl.ds(base, _PCHUNK)]
+                pz = pz_ref[pl.ds(base, _PCHUNK)]
+                gi = base + jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, 1), 0)[:, 0]
+                valid = (gi >= first) & (gi < first + count)
+                xr = px - xf
+                ux = jnp.floor(px).astype(jnp.int32)
+                uy = jnp.floor(py).astype(jnp.int32)
+                uz = jnp.floor(pz).astype(jnp.int32)
+
+                yio = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, U), 1)
+                zio = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, V), 1)
+                # bool minor-dim inserts are unsupported on TPU vregs; promote
+                # the per-point mask to f32 before broadcasting
+                validf = valid.astype(jnp.float32)
+                dy = py[:, None] - yio.astype(jnp.float32)
+                dz = pz[:, None] - zio.astype(jnp.float32)
+                wy = (jnp.abs(uy[:, None] - yio) <= ry).astype(jnp.float32) * validf[:, None]
+                wz = (jnp.abs(uz[:, None] - zio) <= rz).astype(jnp.float32)
+                rampz = dz * wz
+                ramp2z = dz * rampz
+                hxf = ((ux == x) & valid).astype(jnp.float32)
+                hitz = (uz[:, None] == zio).astype(jnp.float32)
+
+                def mm(a, b):
+                    return jax.lax.dot_general(
+                        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                    )
+
+                # A-side matrices are built immediately before their matmuls so
+                # only ~2 of the [CHUNK, U] f32 temporaries are live at a time
+                # (VMEM budget; see the scoped-vmem OOM note in git history)
+                p_n = mm(wy, wz)
+                p_sz = mm(wy, rampz)
+                p_zz = mm(wy, ramp2z)
+                xw = xr[:, None] * wy
+                p_sx = mm(xw, wz)
+                p_xz = mm(xw, rampz)
+                x2w = xr[:, None] * xw
+                p_xx = mm(x2w, wz)
+                rampy = dy * wy
+                p_sy = mm(rampy, wz)
+                p_yz = mm(rampy, rampz)
+                xry = xr[:, None] * rampy
+                p_xy = mm(xry, wz)
+                ramp2y = dy * rampy
+                p_yy = mm(ramp2y, wz)
+                hity = (uy[:, None] == yio).astype(jnp.float32) * hxf[:, None]
+                p_hit = mm(hity, hitz)
+                prods = (p_n, p_sx, p_sy, p_sz, p_xx, p_xy, p_xz, p_yy, p_yz, p_zz, p_hit)
+                return tuple(a + p for a, p in zip(accs, prods))
+
+            init = tuple(jnp.zeros((U, V), jnp.float32) for _ in range(11))
+            accs = jax.lax.fori_loop(0, nchunks, body, init)
+            for i, a in enumerate(accs):
+                out_ref[j, i, :, :] = a
+
+
+def fused_point_moments(
+    cfg: GvomConfig,
+    points: jnp.ndarray,
+    keep: jnp.ndarray,
+    origin: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Returns (hit [X,Y,Z] i32, n, mean, m2) — mean in map-local voxel units,
+    m2 centered — matching binning.bin_points + moments.box_aggregate_moments."""
+    from gvom_tpu.ops import grid as gridops
+    from gvom_tpu.ops.binning import moment_pad
+
+    X, Y, Z = cfg.grid_shape
+    rx, ry, rz = moment_pad(cfg)
+    Xp, Yp, Zp = X + 2 * rx, Y + 2 * ry, Z + 2 * rz
+    U = ((Yp + 7) // 8) * 8
+    V = ((Zp + 127) // 128) * 128
+    res = gridops.resolution_vector(cfg)
+    pn = points / res - origin.astype(jnp.float32)
+    pad_off = jnp.array([rx, ry, rz], jnp.float32)
+    pp = pn + pad_off[None, :]
+    ux = jnp.floor(pp[:, 0]).astype(jnp.int32)
+    # points fully outside the padded grid (any axis) are dead
+    inb = (
+        keep
+        & (pp[:, 0] >= 0) & (pp[:, 0] < Xp)
+        & (pp[:, 1] >= 0) & (pp[:, 1] < Yp)
+        & (pp[:, 2] >= 0) & (pp[:, 2] < Zp)
+    )
+    key = jnp.where(inb, ux, Xp).astype(jnp.int32)
+    big = jnp.float32(3 * max(Xp, Yp, Zp))
+    px = jnp.where(inb, pp[:, 0], -big)
+    py = jnp.where(inb, pp[:, 1], -big)
+    pz = jnp.where(inb, pp[:, 2], -big)
+    key_s, px_s, py_s, pz_s = jax.lax.sort((key, px, py, pz), num_keys=1)
+
+    n = points.shape[0]
+    npad = ((n + _PCHUNK - 1) // _PCHUNK + 1) * _PCHUNK
+    padn = npad - n
+    px_s = jnp.pad(px_s, (0, padn), constant_values=-big)
+    py_s = jnp.pad(py_s, (0, padn), constant_values=-big)
+    pz_s = jnp.pad(pz_s, (0, padn), constant_values=-big)
+
+    # per-x-voxel counts -> cumulative offsets -> per-slice ranges
+    ohx = (key_s[:, None] == jnp.arange(Xp + 1)[None, :]).astype(jnp.bfloat16)
+    cnt = jax.lax.dot_general(
+        ohx, jnp.ones((n, 1), jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, 0].astype(jnp.int32)                      # [Xp+1]
+    cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])  # cum[x] = #(ux < x)
+    xs = jnp.arange(Xp)
+    lo = cum[jnp.maximum(xs - rx, 0)]
+    hi = cum[jnp.minimum(xs + rx, Xp - 1) + 1]
+    count = hi - lo
+    abase = (lo // _PCHUNK) * _PCHUNK
+    nchunks = (hi - abase + _PCHUNK - 1) // _PCHUNK
+    meta = jnp.stack([abase, nchunks, lo, count], axis=1)  # [Xp, 4]
+
+    XB = _XBLOCK
+    Xp_pad = ((Xp + XB - 1) // XB) * XB
+    meta = jnp.pad(meta, ((0, Xp_pad - Xp), (0, 0)))
+    out = pl.pallas_call(
+        _moment_kernel_factory(cfg, U, V, ry, rz, XB),
+        grid=(Xp_pad // XB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((XB, 11, U, V), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Xp_pad, 11, U, V), jnp.float32),
+        interpret=interpret,
+    )(meta, px_s, py_s, pz_s)
+
+    core = out[rx : rx + X, :, ry : ry + Y, rz : rz + Z]   # crop padding
+    nbox = core[:, 0]
+    s1 = jnp.stack([core[:, 1], core[:, 2], core[:, 3]], axis=0)  # Σ(p−v), target-local
+    s2 = jnp.stack([core[:, 4 + i] for i in range(6)], axis=0)
+    hit = core[:, 10].astype(jnp.int32)
+    has = nbox > 0
+    safe = jnp.where(has, nbox, 1.0)
+    mu_local = s1 / safe                                   # reference's voxel-local mean
+    m2 = s2 - nbox[None] * jnp.stack(
+        [mu_local[i] * mu_local[j] for i, j in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))],
+        axis=0,
+    )
+    vox_f = jnp.stack(
+        [jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), a) for a in range(3)], axis=0
+    )
+    mean = jnp.where(has[None], mu_local + vox_f, 0.0)
+    m2 = jnp.where(has[None], m2, 0.0)
+    return hit, jnp.where(has, nbox, 0.0), mean, m2

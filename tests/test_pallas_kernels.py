@@ -1,0 +1,88 @@
+"""Pallas kernel parity vs the XLA reference paths (interpret mode on CPU;
+the same kernels compile for TPU — see scratch/ benchmarks and bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gvom_tpu.io import synthetic
+from gvom_tpu.ops import binning, moments, raycast
+from gvom_tpu.ops import grid as gridops
+from gvom_tpu.ops.pallas_kernels import fused_point_moments, ray_pass_counts_matmul
+
+from conftest import make_scan
+
+
+@pytest.fixture(scope="module")
+def scene(small_cfg):
+    ego = np.array([0.3, -0.2, 1.5])
+    pts = make_scan(synthetic.composite_terrain(), ego, cfg=small_cfg)
+    pad, mask = synthetic.pad_scan(pts, small_cfg.max_points)
+    p = jnp.asarray(pad)
+    v = jnp.asarray(mask)
+    e = jnp.asarray(np.float32(ego))
+    pw, keep = binning.prepare_points(small_cfg, p, v, e)
+    origin = gridops.compute_origin(small_cfg, e)
+    return small_cfg, pw, keep, e, origin
+
+
+def test_raycast_matmul_exact(scene):
+    cfg, pw, keep, e, origin = scene
+    ref = np.asarray(jax.jit(lambda: raycast.ray_pass_counts_xla(cfg, pw, keep, e, origin))())
+    mm = np.asarray(
+        jax.jit(lambda: ray_pass_counts_matmul(cfg, pw, keep, e, origin, interpret=True))()
+    )
+    np.testing.assert_array_equal(mm, ref)
+    assert ref.sum() > 0
+
+
+def test_raycast_matmul_empty(scene):
+    cfg, pw, keep, e, origin = scene
+    none = jnp.zeros_like(keep)
+    mm = np.asarray(
+        jax.jit(lambda: ray_pass_counts_matmul(cfg, pw, none, e, origin, interpret=True))()
+    )
+    assert mm.sum() == 0
+
+
+def test_fused_moments_matches_scatter_path(scene):
+    cfg, pw, keep, e, origin = scene
+    bins = jax.jit(lambda: binning.bin_points(cfg, pw, keep, origin))()
+    n0, mean0, m20 = jax.jit(lambda: moments.box_aggregate_moments(cfg, bins))()
+    hit, n1, mean1, m21 = jax.jit(
+        lambda: fused_point_moments(cfg, pw, keep, origin, interpret=True)
+    )()
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(bins.hit))
+    occ = np.asarray(bins.hit) > 0
+    np.testing.assert_allclose(np.asarray(n1)[occ], np.asarray(n0)[occ], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mean1)[:, occ], np.asarray(mean0)[:, occ], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m21)[:, occ], np.asarray(m20)[:, occ], atol=5e-4)
+
+
+def test_fused_moments_border_points(small_cfg):
+    """Points just outside the grid still feed border voxels' moments
+    (gvom.py:1184-1202 has no base bounds check)."""
+    cfg = small_cfg
+    res = np.array([cfg.xy_resolution, cfg.xy_resolution, cfg.z_resolution])
+    origin = jnp.asarray(np.array([0, 0, 0], np.int32))
+    # one point inside the border voxel, one just outside the grid
+    pts = np.array(
+        [
+            [0.5 * res[0], 0.5 * res[1], 0.5 * res[2]],
+            [-0.5 * res[0], 0.5 * res[1], 0.5 * res[2]],
+        ],
+        np.float32,
+    )
+    pad = np.zeros((cfg.max_points, 3), np.float32)
+    pad[:2] = pts
+    keep = np.zeros((cfg.max_points,), bool)
+    keep[:2] = True
+    p = jnp.asarray(pad)
+    k = jnp.asarray(keep)
+    bins = jax.jit(lambda: binning.bin_points(cfg, p, k, origin))()
+    n0, _, _ = jax.jit(lambda: moments.box_aggregate_moments(cfg, bins))()
+    _, n1, _, _ = jax.jit(lambda: fused_point_moments(cfg, p, k, origin, interpret=True))()
+    assert float(n0[0, 0, 0]) == 2.0  # both points reach voxel (0,0,0)
+    assert float(n1[0, 0, 0]) == 2.0
