@@ -151,11 +151,18 @@ class Gvom:
         )
 
     # ------------------------------------------------------------------
+    def _canonical(self, arr: np.ndarray, origin: np.ndarray) -> np.ndarray:
+        """Torus → window-relative layout (host-side; see ops/grid.py)."""
+        for ax in range(3):
+            arr = np.roll(arr, -int(origin[ax]) % arr.shape[ax - 3], axis=ax - 3)
+        return arr
+
     def get_map_as_occupancy_grid(self) -> Optional[np.ndarray]:
         """[X,Y,Z] bool occupancy of the last combined map (gvom.py:356-361)."""
         if not self._products_ok:
             return None
-        return np.asarray(self._world.grid.hit > 0)
+        origin = np.asarray(self._world.grid.origin)
+        return self._canonical(np.asarray(self._world.grid.hit > 0), origin)
 
     def make_debug_voxel_map(self) -> Optional[np.ndarray]:
         """[K,8] per occupied voxel: world xyz, hit/total density, hit count,
@@ -167,15 +174,15 @@ class Gvom:
             return None
         cfg = self.config
         g = self._world.grid
-        occ = np.asarray(g.hit > 0)
+        origin = np.asarray(g.origin)
+        occ = self._canonical(np.asarray(g.hit > 0), origin)
         xs, ys, zs = np.nonzero(occ)
         if len(xs) == 0:
             return np.zeros((0, 8), np.float32)
         cov = moments.covariance(g.n, g.m2)
-        ev = np.asarray(moments.eigenvalues(cov))
-        origin = np.asarray(g.origin)
-        hit = np.asarray(g.hit)[xs, ys, zs].astype(np.float32)
-        tot = np.asarray(g.hit + g.miss)[xs, ys, zs].astype(np.float32)
+        ev = self._canonical(np.asarray(moments.eigenvalues(cov)), origin)
+        hit = self._canonical(np.asarray(g.hit), origin)[xs, ys, zs].astype(np.float32)
+        tot = self._canonical(np.asarray(g.hit + g.miss), origin)[xs, ys, zs].astype(np.float32)
         out = np.zeros((len(xs), 8), np.float32)
         out[:, 0] = (xs + origin[0]) * cfg.xy_resolution
         out[:, 1] = (ys + origin[1]) * cfg.xy_resolution

@@ -83,8 +83,11 @@ def ingest_scan(
         min_height = binning.scatter_min_height(cfg, p, keep, origin)
     else:
         bins = binning.bin_points(cfg, p, keep, origin)
-        hit, min_height = bins.hit, bins.min_height
-        n, mean, m2 = moments.box_aggregate_moments(cfg, bins)
+        hit, min_height = bins.hit, bins.min_height            # torus-placed
+        n, mean, m2 = moments.box_aggregate_moments(cfg, bins)  # window layout
+        n = gridops.window_to_torus(n, origin)
+        mean = gridops.window_to_torus(mean, origin)
+        m2 = gridops.window_to_torus(m2, origin)
     occ = hit > 0
     grid = VoxelGrid(
         hit=hit,
@@ -105,16 +108,22 @@ def ingest_scan(
 
 
 def buffer_insert(cfg: GvomConfig, buf: BufferState, grid: VoxelGrid, scan_ok: jnp.ndarray) -> BufferState:
-    """Functional ring-buffer write (gvom.py:163-175). No-op when !scan_ok."""
+    """Functional ring-buffer write (gvom.py:163-175). No-op when !scan_ok.
+
+    The no-op case is masked *inside* the slot update (select between the new
+    grid and the slot's old content, then unconditionally dynamic-update) —
+    `where(ok, buf.at[cur].set(new), buf)` would keep both buffer versions
+    live and force XLA to copy the whole multi-hundred-MB buffer every step.
+    """
     cur = buf.cursor
     new_grids = jax.tree_util.tree_map(
-        lambda stacked, leaf: jnp.where(scan_ok, stacked.at[cur].set(leaf), stacked),
+        lambda stacked, leaf: stacked.at[cur].set(jnp.where(scan_ok, leaf, stacked[cur])),
         buf.grids,
         grid,
     )
     return BufferState(
         grids=new_grids,
-        slot_valid=jnp.where(scan_ok, buf.slot_valid.at[cur].set(True), buf.slot_valid),
+        slot_valid=buf.slot_valid.at[cur].set(scan_ok | buf.slot_valid[cur]),
         cursor=jnp.where(scan_ok, (cur + 1) % cfg.buffer_size, cur).astype(jnp.int32),
         last_slot=jnp.where(scan_ok, cur, buf.last_slot).astype(jnp.int32),
     )
@@ -153,10 +162,11 @@ def combine(
     any_valid = jnp.any(buf.slot_valid)
 
     # --- phase A: occupancy + negative evidence (slot order latches) ---
+    # torus layout: alignment is masks only — no data movement
     aligned = []
     for i in range(cfg.buffer_size):
         g = _tree_slice(buf.grids, i)
-        aligned.append((gridops.shift_align_grid(g, origin - g.origin), buf.slot_valid[i]))
+        aligned.append((gridops.align_to(cfg, g, origin), buf.slot_valid[i]))
 
     shape = cfg.grid_shape
     occ = jnp.zeros(shape, bool)
@@ -167,7 +177,7 @@ def combine(
         evidence = jnp.where((s_ev > 0) & ~s_occ & ~occ, evidence + s_ev, evidence)
         occ = occ | s_occ
 
-    old = gridops.shift_align_grid(world.grid, origin - world.grid.origin)
+    old = gridops.align_to(cfg, world.grid, origin)
     old_occ = (old.hit > 0) & world.valid
     revive = old_occ & ~occ & (evidence <= cfg.decay_miss_limit)   # staleness veto (gvom.py:992)
     occ = occ | revive
@@ -214,11 +224,19 @@ def combine(
     new_world = _tree_where(any_valid, new_world, world)
 
     # --- 2D products (gvom.py:286-354) ---
-    hm = maps2d.height_map(cfg, occ, min_height, origin, ego)
-    ihm = maps2d.inferred_height_map(cfg, occ, evidence, origin)
+    # column reductions run on the torus grid (no data movement); only the
+    # small 2D maps are canonicalized (window-relative layout) for the
+    # stencil ops and the user-facing products
+    hm_t = maps2d.height_map(cfg, occ, min_height, origin, ego)
+    ihm_t = maps2d.inferred_height_map(cfg, occ, evidence, origin)
+    hm = gridops.torus_to_window(hm_t, origin, grid_ndim=2)
+    ihm = gridops.torus_to_window(ihm_t, origin, grid_ndim=2)
     slope_x, slope_y, rough = maps2d.slope_and_roughness(cfg, hm)
     ghd = maps2d.guess_height_delta(cfg, hm, ihm)
-    pos = maps2d.positive_obstacle_map(cfg, occ, hit, hit + miss, hm, slope_x, slope_y, origin)
+    sx_t = gridops.window_to_torus(slope_x, origin, grid_ndim=2)
+    sy_t = gridops.window_to_torus(slope_y, origin, grid_ndim=2)
+    pos_t = maps2d.positive_obstacle_map(cfg, occ, hit, hit + miss, hm_t, sx_t, sy_t, origin)
+    pos = gridops.torus_to_window(pos_t, origin, grid_ndim=2)
     neg = maps2d.negative_obstacle_map(cfg, ghd)
     vis = maps2d.visibility_map(hm)
     products = MapProducts(

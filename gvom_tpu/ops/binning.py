@@ -78,10 +78,12 @@ def scatter_min_height(
     a single-channel scatter-min used alongside the fused matmul binning."""
     shape = cfg.grid_shape
     res = gridops.resolution_vector(cfg)
+    size = gridops.size_vector(cfg)
     pn = points / res - origin.astype(jnp.float32)
     vox = jnp.floor(pn).astype(jnp.int32)
     inb = keep & gridops.in_bounds(cfg, vox)
-    vc = jnp.where(inb[:, None], vox, 0)
+    vt = (vox + origin[None, :]) % size[None, :]          # torus placement
+    vc = jnp.where(inb[:, None], vt, 0)
     localz = pn[:, 2] - vox[:, 2].astype(jnp.float32)
     return jnp.ones(shape, jnp.float32).at[vc[:, 0], vc[:, 1], vc[:, 2]].min(
         jnp.where(inb, localz, 1.0)
@@ -101,9 +103,11 @@ def bin_points(
     vox = jnp.floor(pn).astype(jnp.int32)
     local = pn - vox.astype(jnp.float32)                 # sub-voxel coords in [0,1)
 
-    # ---- endpoint hit counts + min height (in-bounds points only) ----
+    # ---- endpoint hit counts + min height (in-bounds points; torus layout) ----
+    size = gridops.size_vector(cfg)
     inb = keep & gridops.in_bounds(cfg, vox)
-    vc = jnp.where(inb[:, None], vox, 0)
+    vt = (vox + origin[None, :]) % size[None, :]
+    vc = jnp.where(inb[:, None], vt, 0)
     ix, iy, iz = vc[:, 0], vc[:, 1], vc[:, 2]
     hit = jnp.zeros(shape, jnp.int32).at[ix, iy, iz].add(inb.astype(jnp.int32))
     mh = jnp.ones(shape, jnp.float32).at[ix, iy, iz].min(jnp.where(inb, local[:, 2], 1.0))

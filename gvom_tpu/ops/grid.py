@@ -23,6 +23,11 @@ __all__ = [
     "in_bounds",
     "shift_align",
     "shift_align_grid",
+    "rel_coords",
+    "overlap_mask",
+    "align_to",
+    "window_to_torus",
+    "torus_to_window",
 ]
 
 
@@ -71,6 +76,79 @@ def shift_align(arr: jnp.ndarray, d: jnp.ndarray, fill=0) -> jnp.ndarray:
     Works on [..., X, Y, Z] (trailing grid dims); d is a traced [3] int32.
     """
     return _shift3(arr, d, float(fill))
+
+
+# ----------------------------------------------------------------------
+# Torus (mod-size) storage layout
+#
+# Grid arrays store world voxel w at array index w mod size — the scrolling
+# ego window then never moves data: re-origining a map is a re-interpretation
+# plus cheap per-axis masks, instead of the reference's integer copy shifts
+# (gvom.py:829-839) which cost a full multi-hundred-MB pass per map on TPU.
+# `rel = (index − origin) mod size` recovers the window-relative coordinate;
+# window-relative ("canonical") layouts are only materialized for the small
+# 2D products and host exports.
+
+
+def rel_coords(cfg: GvomConfig, origin: jnp.ndarray):
+    """Per-axis window-relative coordinate of each array index: [X],[Y],[Z]."""
+    out = []
+    for ax, size in enumerate(cfg.grid_shape):
+        i = jnp.arange(size, dtype=jnp.int32)
+        out.append((i - origin[ax]) % size)
+    return tuple(out)
+
+
+def overlap_mask(cfg: GvomConfig, o_target: jnp.ndarray, o_source: jnp.ndarray) -> jnp.ndarray:
+    """[X,Y,Z] bool: array cells where source's stored world voxel equals the
+    target window's world voxel (the two windows' overlap, in torus indices)."""
+    masks = []
+    for ax, size in enumerate(cfg.grid_shape):
+        i = jnp.arange(size, dtype=jnp.int32)
+        rel_t = (i - o_target[ax]) % size
+        d = o_target[ax] - o_source[ax]
+        ok = (rel_t >= -jnp.minimum(d, 0)) & (rel_t < size - jnp.maximum(d, 0))
+        masks.append(ok)
+    return masks[0][:, None, None] & masks[1][None, :, None] & masks[2][None, None, :]
+
+
+def align_to(cfg: GvomConfig, grid, new_origin: jnp.ndarray):
+    """Re-origin a torus grid: pure masks + a scalar mean adjustment — no data
+    movement (the torus replacement for shift_align_grid)."""
+    from gvom_tpu.types import VoxelGrid
+
+    mask = overlap_mask(cfg, new_origin, grid.origin)
+    d = (new_origin - grid.origin).astype(jnp.float32)
+    mean = jnp.where(mask[None] & (grid.n[None] > 0), grid.mean - d[:, None, None, None], 0.0)
+    return VoxelGrid(
+        hit=jnp.where(mask, grid.hit, 0),
+        miss=jnp.where(mask, grid.miss, 0),
+        evidence=jnp.where(mask, grid.evidence, 0),
+        min_height=jnp.where(mask, grid.min_height, 1.0),
+        n=jnp.where(mask, grid.n, 0.0),
+        mean=mean,
+        m2=jnp.where(mask[None], grid.m2, 0.0),
+        origin=new_origin,
+    )
+
+
+def window_to_torus(arr: jnp.ndarray, origin: jnp.ndarray, grid_ndim: int = 3) -> jnp.ndarray:
+    """Move a window-relative array (row 0 = window start) into torus layout.
+
+    torus[(r + o) mod size] = window[r]; rolls the trailing `grid_ndim` axes.
+    """
+    for k in range(grid_ndim):
+        ax = arr.ndim - grid_ndim + k
+        arr = jnp.roll(arr, origin[k] % arr.shape[ax], axis=ax)
+    return arr
+
+
+def torus_to_window(arr: jnp.ndarray, origin: jnp.ndarray, grid_ndim: int = 3) -> jnp.ndarray:
+    """Inverse of window_to_torus."""
+    for k in range(grid_ndim):
+        ax = arr.ndim - grid_ndim + k
+        arr = jnp.roll(arr, -(origin[k] % arr.shape[ax]), axis=ax)
+    return arr
 
 
 def shift_align_grid(grid, d: jnp.ndarray):

@@ -42,6 +42,25 @@ __all__ = [
 _BIG = jnp.int32(1 << 20)
 
 
+def _z_priority(cfg: GvomConfig, origin: jnp.ndarray) -> jnp.ndarray:
+    """[Z] window-relative z of each torus z index (bottom of window = 0)."""
+    Z = cfg.z_size
+    return (jnp.arange(Z, dtype=jnp.int32) - origin[2]) % Z
+
+
+def _first_in_column(cfg: GvomConfig, mask: jnp.ndarray, origin: jnp.ndarray):
+    """(any, rel_z of first, torus one-hot of first) for a bottom-up column
+    scan over a torus-layout [X,Y,Z] mask (replaces the reference's per-column
+    z loop, gvom.py:536-554, without data movement)."""
+    Z = cfg.z_size
+    pz = _z_priority(cfg, origin)[None, None, :]
+    score = jnp.where(mask, pz, Z)
+    zrel = jnp.min(score, axis=2)
+    any_hit = zrel < Z
+    sel = mask & (score == zrel[..., None])
+    return any_hit, zrel, sel
+
+
 def height_map(
     cfg: GvomConfig,
     occ: jnp.ndarray,
@@ -50,14 +69,16 @@ def height_map(
     ego_position: jnp.ndarray,
 ) -> jnp.ndarray:
     """First-occupied-voxel height per column with the ego-disk pre-seed
-    (gvom.py:523-540)."""
+    (gvom.py:523-540). Inputs are torus-layout; the output 2D map is also
+    torus-layout in (x, y) — canonicalize with torus_to_window for stencils."""
     X = cfg.xy_size
-    any_occ = jnp.any(occ, axis=2)
-    zfirst = jnp.argmax(occ, axis=2)
-    mh = jnp.take_along_axis(min_height, zfirst[..., None], axis=2)[..., 0]
-    col_h = (mh + zfirst.astype(jnp.float32) + origin[2].astype(jnp.float32)) * cfg.z_resolution
-    gx = (origin[0].astype(jnp.float32) + jnp.arange(X, dtype=jnp.float32))[:, None] * cfg.xy_resolution - ego_position[0]
-    gy = (origin[1].astype(jnp.float32) + jnp.arange(X, dtype=jnp.float32))[None, :] * cfg.xy_resolution - ego_position[1]
+    any_occ, zrel, sel = _first_in_column(cfg, occ, origin)
+    mh = jnp.sum(jnp.where(sel, min_height, 0.0), axis=2)
+    col_h = (mh + zrel.astype(jnp.float32) + origin[2].astype(jnp.float32)) * cfg.z_resolution
+    relx = ((jnp.arange(X, dtype=jnp.int32) - origin[0]) % X).astype(jnp.float32)
+    rely = ((jnp.arange(X, dtype=jnp.int32) - origin[1]) % X).astype(jnp.float32)
+    gx = (origin[0].astype(jnp.float32) + relx)[:, None] * cfg.xy_resolution - ego_position[0]
+    gy = (origin[1].astype(jnp.float32) + rely)[None, :] * cfg.xy_resolution - ego_position[1]
     disk = gx * gx + gy * gy <= jnp.float32(cfg.robot_radius) ** 2
     seed = jnp.where(disk, ego_position[2] - jnp.float32(cfg.ground_to_lidar_height), UNKNOWN_HEIGHT)
     return jnp.where(any_occ, col_h, seed)
@@ -66,11 +87,10 @@ def height_map(
 def inferred_height_map(
     cfg: GvomConfig, occ: jnp.ndarray, evidence: jnp.ndarray, origin: jnp.ndarray
 ) -> jnp.ndarray:
-    """First observed-empty voxel per column (gvom.py:542-554)."""
+    """First observed-empty voxel per column (gvom.py:542-554); torus in/out."""
     miss = (~occ) & (evidence > 0)
-    any_miss = jnp.any(miss, axis=2)
-    zfirst = jnp.argmax(miss, axis=2)
-    ih = (zfirst.astype(jnp.float32) + origin[2].astype(jnp.float32)) * cfg.z_resolution
+    any_miss, zrel, _ = _first_in_column(cfg, miss, origin)
+    ih = (zrel.astype(jnp.float32) + origin[2].astype(jnp.float32)) * cfg.z_resolution
     return jnp.where(any_miss, ih, UNKNOWN_HEIGHT)
 
 
@@ -251,14 +271,17 @@ def positive_obstacle_map(
     origin: jnp.ndarray,
 ) -> jnp.ndarray:
     """Mean occupied-voxel density in the column band
-    [height+threshold, height+robot_height] (gvom.py:487-521)."""
+    [height+threshold, height+robot_height] (gvom.py:487-521).
+
+    All inputs (3D grid, hm, slopes) and the output are torus-layout; the band
+    test uses each voxel's window-relative z (pure iota arithmetic)."""
     Z = cfg.z_size
     steep = jnp.sqrt(slope_x * slope_x + slope_y * slope_y) >= jnp.float32(cfg.slope_obstacle_threshold)
     o2 = origin[2].astype(jnp.float32)
     lo = jnp.floor((hm + cfg.positive_obstacle_threshold) / cfg.z_resolution - o2).astype(jnp.int32) + 1
     hi = jnp.floor((hm + cfg.robot_height) / cfg.z_resolution - o2).astype(jnp.int32)
     band_ok = (lo >= 0) & (lo < Z) & (hi >= 0) & (hi < Z)
-    zs = jax.lax.broadcasted_iota(jnp.int32, occ.shape, 2)
+    zs = _z_priority(cfg, origin)[None, None, :] * jnp.ones(occ.shape, jnp.int32)
     in_band = (zs >= lo[..., None]) & (zs <= hi[..., None])
     strong = occ & (hit > cfg.hit_count_threshold)
     sel = in_band & strong

@@ -52,7 +52,7 @@ _SBLOCK = 12  # steps per grid instance — TPU pays ~26µs fixed cost per grid
 
 
 def _hist_kernel_factory(SB: int, PAIRED: bool):
-    def kernel(meta_ref, startuv_ref, su_ref, sv_ref, delta_ref, budget_ref, out_ref):
+    def kernel(meta_ref, startuv_ref, ouv_ref, su_ref, sv_ref, delta_ref, budget_ref, out_ref):
         """One (group-pair, step-block) instance.
 
         When PAIRED, each instance covers groups (2a, 2a+1): their chunks are
@@ -71,8 +71,16 @@ def _hist_kernel_factory(SB: int, PAIRED: bool):
         U = out_ref.shape[2]
         n_sub = 2 if PAIRED else 1
         V = out_ref.shape[3] // n_sub
-        iu = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, U), 1)
-        iv2 = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, n_sub * V), 1)
+        # torus layout: hist columns are torus indices — compare window-
+        # relative coordinates against origin-remapped iotas (built once per
+        # instance; both groups of a pair share non-dominant axes)
+        ga = 2 * a if PAIRED else a
+        ou = ouv_ref[ga, 0]
+        ov = ouv_ref[ga, 1]
+        iu_raw = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, U), 1)
+        iu = (iu_raw - ou) % U
+        iv_raw = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, n_sub * V), 1)
+        iv2 = ((iv_raw % V) - ov) % V + (iv_raw // V) * V
         ii = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)[:, 0]
 
         def onehots(g, voff, s, c):
@@ -140,7 +148,7 @@ def _hist_kernel_factory(SB: int, PAIRED: bool):
     return kernel
 
 
-def _run_hist(meta, startuv, su, sv, delta, budget, G, S, U, V, interpret=False, paired=True):
+def _run_hist(meta, startuv, ouv, su, sv, delta, budget, G, S, U, V, interpret=False, paired=True):
     SB = _SBLOCK
     S_pad = ((S + SB - 1) // SB) * SB
     if meta.shape[1] < S_pad + 1:
@@ -153,6 +161,7 @@ def _run_hist(meta, startuv, su, sv, delta, budget, G, S, U, V, interpret=False,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -163,7 +172,7 @@ def _run_hist(meta, startuv, su, sv, delta, budget, G, S, U, V, interpret=False,
         ),
         out_shape=jax.ShapeDtypeStruct((n_inst, S_pad, U, n_sub * V), jnp.float32),
         interpret=interpret,
-    )(meta, startuv, su, sv, delta, budget)
+    )(meta, startuv, ouv, su, sv, delta, budget)
     if paired:
         # [a, s, U, 2V] → [2a+half, s, U, V]
         out = out.reshape(n_inst, S_pad, U, 2, V).transpose(0, 3, 1, 2, 4).reshape(G, S_pad, U, V)
@@ -239,6 +248,9 @@ def ray_pass_counts_matmul(
     dom_size = jnp.array([X, X, Y, Y, Z, Z])
     rows = jnp.floor(start_rel[dom_axis][:, None] + dom_sign[:, None] * s_ar[None, :]).astype(jnp.int32)
     rows_ok = (rows >= 0) & (rows < dom_size[:, None])     # [6, S]
+    # torus placement: rows compared in torus indices (hist u/v columns are
+    # already torus via the in-kernel iota remap)
+    rows_t = (rows + origin[dom_axis][:, None]) % dom_size[:, None]
 
     startuv = jnp.stack(
         [
@@ -251,6 +263,15 @@ def ray_pass_counts_matmul(
         ],
         axis=0,
     )
+    o = origin
+    ouv = jnp.stack(
+        [
+            jnp.stack([o[1], o[2]]), jnp.stack([o[1], o[2]]),
+            jnp.stack([o[0], o[2]]), jnp.stack([o[0], o[2]]),
+            jnp.stack([o[0], o[1]]), jnp.stack([o[0], o[1]]),
+        ],
+        axis=0,
+    ).astype(jnp.int32)
 
     def build_meta(groups):
         m = []
@@ -267,32 +288,32 @@ def ray_pass_counts_matmul(
 
     # --- xy-dominant kernel: groups 0..3, hist over (u∈[0,256), v=z) ---
     meta_xy = build_meta([0, 1, 2, 3])
-    hist_xy = _run_hist(meta_xy, startuv[:4], su_s, sv_s, delta_s, budget_s, 4, S, X, Z, interpret, paired=True)
+    hist_xy = _run_hist(meta_xy, startuv[:4], ouv[:4], su_s, sv_s, delta_s, budget_s, 4, S, X, Z, interpret, paired=True)
 
     # --- z-dominant kernel: groups 4..5, hist over (x, y) ---
     meta_z = build_meta([4, 5])
     Sz = min(S, Z + 2)
-    hist_z = _run_hist(meta_z[:, : Sz + 1], startuv[4:], su_s, sv_s, delta_s, budget_s, 2, Sz, X, Y, interpret, paired=False)
+    hist_z = _run_hist(meta_z[:, : Sz + 1], startuv[4:], ouv[4:], su_s, sv_s, delta_s, budget_s, 2, Sz, X, Y, interpret, paired=False)
 
     # --- placement: one-hot matmul over the step axis (exact, no scatter) ---
     out = jnp.zeros((X, Y, Z), jnp.float32)
     # groups 0,1: rows are x cells; hist [S, Y(=256 via U=X? u-axis is y), Z]
     #   u-axis for x-dom is y (size Y) — U was passed as X==Y for xy grids
     for gi, g in enumerate((0, 1)):
-        oh = ((rows[g][None, :] == jnp.arange(X)[:, None]) & rows_ok[g][None, :]).astype(jnp.float32)
+        oh = ((rows_t[g][None, :] == jnp.arange(X)[:, None]) & rows_ok[g][None, :]).astype(jnp.float32)
         h = hist_xy[gi].reshape(S, Y * Z)
         out = out + jax.lax.dot_general(
             oh, h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).reshape(X, Y, Z)
     for gi, g in enumerate((2, 3)):
-        oh = ((rows[g][None, :] == jnp.arange(Y)[:, None]) & rows_ok[g][None, :]).astype(jnp.float32)
+        oh = ((rows_t[g][None, :] == jnp.arange(Y)[:, None]) & rows_ok[g][None, :]).astype(jnp.float32)
         h = hist_xy[2 + gi].reshape(S, X * Z)
         contrib = jax.lax.dot_general(
             oh, h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).reshape(Y, X, Z)
         out = out + contrib.transpose(1, 0, 2)
     for gi, g in enumerate((4, 5)):
-        oh = ((rows[g][None, :Sz] == jnp.arange(Z)[:, None]) & rows_ok[g][None, :Sz]).astype(jnp.float32)
+        oh = ((rows_t[g][None, :Sz] == jnp.arange(Z)[:, None]) & rows_ok[g][None, :Sz]).astype(jnp.float32)
         h = hist_z[gi].reshape(Sz, X * Y)
         contrib = jax.lax.dot_general(
             oh, h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -330,16 +351,25 @@ _XBLOCK = 2  # x-slices per grid instance (amortizes the ~26µs instance cost
              # while keeping the [XB, 11, U, V] output block within VMEM)
 
 
-def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, XB: int):
-    def kernel(meta_ref, px_ref, py_ref, pz_ref, out_ref):
+def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, XB: int, Y: int, Z: int):
+    def kernel(meta_ref, org_ref, px_ref, py_ref, pz_ref, out_ref):
         xb = pl.program_id(0)
+        # torus one-hot targets (built once per instance): column c holds the
+        # voxel whose torus index is c; its padded-window coordinate is
+        # ((c − o) mod size) + r. Pad columns (z only) never match.
+        oy = org_ref[0, 1]
+        oz = org_ref[0, 2]
+        yio_raw = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, U), 1)
+        yio = (yio_raw - oy) % Y + ry
+        zio_raw = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, V), 1)
+        zio = jnp.where(zio_raw < Z, (zio_raw - oz) % Z + rz, jnp.int32(1 << 20))
         for j in range(XB):
-            _moment_slice(cfg, U, V, ry, rz, xb * XB + j, j, meta_ref, px_ref, py_ref, pz_ref, out_ref)
+            _moment_slice(cfg, U, V, ry, rz, xb * XB + j, j, meta_ref, px_ref, py_ref, pz_ref, out_ref, yio, zio)
 
     return kernel
 
 
-def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, out_ref):
+def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, out_ref, yio, zio):
         abase = meta_ref[x, 0]
         nchunks = meta_ref[x, 1]
         first = meta_ref[x, 2]
@@ -363,8 +393,6 @@ def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, out
                 uy = jnp.floor(py).astype(jnp.int32)
                 uz = jnp.floor(pz).astype(jnp.int32)
 
-                yio = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, U), 1)
-                zio = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, V), 1)
                 # bool minor-dim inserts are unsupported on TPU vregs; promote
                 # the per-point mask to f32 before broadcasting
                 validf = valid.astype(jnp.float32)
@@ -425,9 +453,9 @@ def fused_point_moments(
 
     X, Y, Z = cfg.grid_shape
     rx, ry, rz = moment_pad(cfg)
-    Xp, Yp, Zp = X + 2 * rx, Y + 2 * ry, Z + 2 * rz
-    U = ((Yp + 7) // 8) * 8
-    V = ((Zp + 127) // 128) * 128
+    Xp = X + 2 * rx
+    U = Y                                   # torus y columns (exact)
+    V = ((Z + 127) // 128) * 128            # torus z columns + dead padding
     res = gridops.resolution_vector(cfg)
     pn = points / res - origin.astype(jnp.float32)
     pad_off = jnp.array([rx, ry, rz], jnp.float32)
@@ -437,11 +465,11 @@ def fused_point_moments(
     inb = (
         keep
         & (pp[:, 0] >= 0) & (pp[:, 0] < Xp)
-        & (pp[:, 1] >= 0) & (pp[:, 1] < Yp)
-        & (pp[:, 2] >= 0) & (pp[:, 2] < Zp)
+        & (pp[:, 1] >= 0) & (pp[:, 1] < Y + 2 * ry)
+        & (pp[:, 2] >= 0) & (pp[:, 2] < Z + 2 * rz)
     )
     key = jnp.where(inb, ux, Xp).astype(jnp.int32)
-    big = jnp.float32(3 * max(Xp, Yp, Zp))
+    big = jnp.float32(3 * max(Xp, Y + 2 * ry, Z + 2 * rz))
     px = jnp.where(inb, pp[:, 0], -big)
     py = jnp.where(inb, pp[:, 1], -big)
     pz = jnp.where(inb, pp[:, 2], -big)
@@ -472,10 +500,12 @@ def fused_point_moments(
     XB = _XBLOCK
     Xp_pad = ((Xp + XB - 1) // XB) * XB
     meta = jnp.pad(meta, ((0, Xp_pad - Xp), (0, 0)))
+    org = origin.astype(jnp.int32)[None, :]
     out = pl.pallas_call(
-        _moment_kernel_factory(cfg, U, V, ry, rz, XB),
+        _moment_kernel_factory(cfg, U, V, ry, rz, XB, Y, Z),
         grid=(Xp_pad // XB,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -484,9 +514,10 @@ def fused_point_moments(
         out_specs=pl.BlockSpec((XB, 11, U, V), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Xp_pad, 11, U, V), jnp.float32),
         interpret=interpret,
-    )(meta, px_s, py_s, pz_s)
+    )(meta, org, px_s, py_s, pz_s)
 
-    core = out[rx : rx + X, :, ry : ry + Y, rz : rz + Z]   # crop padding
+    # rows: crop x padding (window layout); y/z columns are already torus
+    core = out[rx : rx + X, :, :, :Z]
     nbox = core[:, 0]
     s1 = jnp.stack([core[:, 1], core[:, 2], core[:, 3]], axis=0)  # Σ(p−v), target-local
     s2 = jnp.stack([core[:, 4 + i] for i in range(6)], axis=0)
@@ -498,9 +529,18 @@ def fused_point_moments(
         [mu_local[i] * mu_local[j] for i, j in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))],
         axis=0,
     )
-    vox_f = jnp.stack(
-        [jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), a) for a in range(3)], axis=0
-    )
+    # window-relative coordinate of each cell: x rows are window order,
+    # y/z columns are torus order
+    relx = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 0)
+    rely = ((jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 1) - origin[1]) % Y).astype(jnp.float32)
+    relz = ((jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 2) - origin[2]) % Z).astype(jnp.float32)
+    vox_f = jnp.stack([relx, rely, relz], axis=0)
     mean = jnp.where(has[None], mu_local + vox_f, 0.0)
     m2 = jnp.where(has[None], m2, 0.0)
-    return hit, jnp.where(has, nbox, 0.0), mean, m2
+    # finally move the x axis into torus layout (leading-axis roll: contiguous)
+    rollx = origin[0] % X
+    hit = jnp.roll(hit, rollx, axis=0)
+    nbox = jnp.roll(jnp.where(has, nbox, 0.0), rollx, axis=0)
+    mean = jnp.roll(mean, rollx, axis=1)
+    m2 = jnp.roll(m2, rollx, axis=1)
+    return hit, nbox, mean, m2

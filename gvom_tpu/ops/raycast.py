@@ -77,7 +77,8 @@ def ray_pass_counts_xla(
         vox = jnp.floor(pos).astype(jnp.int32)
         inb = jnp.all((vox >= 0) & (vox < size[None, :]), axis=1)
         act = ((kf - 1.0) * delta < budget) & inb
-        vc = jnp.where(act[:, None], vox, 0)
+        vt = (vox + origin[None, :]) % size[None, :]       # torus placement
+        vc = jnp.where(act[:, None], vt, 0)
         return acc.at[vc[:, 0], vc[:, 1], vc[:, 2]].add(act.astype(jnp.int32))
 
     return jax.lax.fori_loop(1, cfg.ray_steps + 1, body, jnp.zeros(shape, jnp.int32))

@@ -117,7 +117,7 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
             lambda l, spec: _gather_space(l, spec), wg_local, wspec.grid
         )
         wg_full = wg_full._replace(origin=wg_local.origin)
-        old = gridops.shift_align_grid(wg_full, origin - wg_full.origin)
+        old = gridops.align_to(cfg, wg_full, origin)
         old_valid = world.valid
 
         occ = contrib.hit > 0
@@ -150,11 +150,18 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
         )
 
         # ---- 2D products (replicated compute on the full grid, v1) ----
-        hm = maps2d.height_map(cfg, occ2, merged.min_height, origin, ego_last)
-        ihm = maps2d.inferred_height_map(cfg, occ2, evidence, origin)
+        hm_t = maps2d.height_map(cfg, occ2, merged.min_height, origin, ego_last)
+        ihm_t = maps2d.inferred_height_map(cfg, occ2, evidence, origin)
+        hm = gridops.torus_to_window(hm_t, origin, grid_ndim=2)
+        ihm = gridops.torus_to_window(ihm_t, origin, grid_ndim=2)
         sx, sy, rough = maps2d.slope_and_roughness(cfg, hm)
         ghd = maps2d.guess_height_delta(cfg, hm, ihm)
-        pos = maps2d.positive_obstacle_map(cfg, occ2, merged.hit, merged.hit + merged.miss, hm, sx, sy, origin)
+        sx_t = gridops.window_to_torus(sx, origin, grid_ndim=2)
+        sy_t = gridops.window_to_torus(sy, origin, grid_ndim=2)
+        pos_t = maps2d.positive_obstacle_map(
+            cfg, occ2, merged.hit, merged.hit + merged.miss, hm_t, sx_t, sy_t, origin
+        )
+        pos = gridops.torus_to_window(pos_t, origin, grid_ndim=2)
         neg = maps2d.negative_obstacle_map(cfg, ghd)
         vis = maps2d.visibility_map(hm)
         products = MapProducts(

@@ -24,3 +24,11 @@ def singular_fit_mask(hm, res):
     det = xx * yy - xy * xy
     scale = np.maximum(xx * yy, 1e-12)
     return (cnt < 3) | (np.abs(det) <= 1e-4 * scale)
+
+
+def canonical(arr, origin):
+    """Torus -> window-relative layout for the trailing 3 grid axes."""
+    arr = np.asarray(arr)
+    for ax in range(3):
+        arr = np.roll(arr, -int(origin[ax]) % arr.shape[ax - 3], axis=ax - 3)
+    return arr

@@ -13,6 +13,7 @@ from gvom_tpu.ops import grid as gridops
 from gvom_tpu.ops.pallas_kernels import fused_point_moments, ray_pass_counts_matmul
 
 from conftest import make_scan
+from helpers import canonical
 
 
 @pytest.fixture(scope="module")
@@ -34,7 +35,7 @@ def test_raycast_matmul_exact(scene):
     mm = np.asarray(
         jax.jit(lambda: ray_pass_counts_matmul(cfg, pw, keep, e, origin, interpret=True))()
     )
-    np.testing.assert_array_equal(mm, ref)
+    np.testing.assert_array_equal(mm, ref)  # both torus layout
     assert ref.sum() > 0
 
 
@@ -54,11 +55,13 @@ def test_fused_moments_matches_scatter_path(scene):
     hit, n1, mean1, m21 = jax.jit(
         lambda: fused_point_moments(cfg, pw, keep, origin, interpret=True)
     )()
+    # bins.hit is torus; box-aggregate outputs are window layout
     np.testing.assert_array_equal(np.asarray(hit), np.asarray(bins.hit))
-    occ = np.asarray(bins.hit) > 0
-    np.testing.assert_allclose(np.asarray(n1)[occ], np.asarray(n0)[occ], atol=1e-3)
-    np.testing.assert_allclose(np.asarray(mean1)[:, occ], np.asarray(mean0)[:, occ], atol=1e-4)
-    np.testing.assert_allclose(np.asarray(m21)[:, occ], np.asarray(m20)[:, occ], atol=5e-4)
+    n1c = canonical(n1, origin); mean1c = canonical(mean1, origin); m21c = canonical(m21, origin)
+    occ = canonical(bins.hit, origin) > 0
+    np.testing.assert_allclose(n1c[occ], np.asarray(n0)[occ], atol=1e-3)
+    np.testing.assert_allclose(mean1c[:, occ], np.asarray(mean0)[:, occ], atol=1e-4)
+    np.testing.assert_allclose(m21c[:, occ], np.asarray(m20)[:, occ], atol=5e-4)
 
 
 def test_fused_moments_border_points(small_cfg):
@@ -85,4 +88,4 @@ def test_fused_moments_border_points(small_cfg):
     n0, _, _ = jax.jit(lambda: moments.box_aggregate_moments(cfg, bins))()
     _, n1, _, _ = jax.jit(lambda: fused_point_moments(cfg, p, k, origin, interpret=True))()
     assert float(n0[0, 0, 0]) == 2.0  # both points reach voxel (0,0,0)
-    assert float(n1[0, 0, 0]) == 2.0
+    assert float(canonical(n1, origin)[0, 0, 0]) == 2.0

@@ -14,6 +14,7 @@ from gvom_tpu.ops import moments
 from gvom_tpu.oracle import NumpyOracle
 
 from conftest import make_scan
+from helpers import canonical
 
 
 @pytest.fixture(scope="module")
@@ -39,30 +40,30 @@ def test_origin(pair):
 
 def test_hit_counts_exact(pair):
     cfg, sm, grid = pair
-    np.testing.assert_array_equal(np.asarray(grid.hit), sm.hit)
+    np.testing.assert_array_equal(canonical(grid.hit, sm.origin), sm.hit)
 
 
 def test_pass_counts_exact(pair):
     cfg, sm, grid = pair
-    np.testing.assert_array_equal(np.asarray(grid.miss), sm.passes)
+    np.testing.assert_array_equal(canonical(grid.miss, sm.origin), sm.passes)
 
 
 def test_min_height(pair):
     cfg, sm, grid = pair
     occ = sm.hit > 0
-    np.testing.assert_allclose(np.asarray(grid.min_height)[occ], sm.min_height[occ], atol=1e-5)
+    np.testing.assert_allclose(canonical(grid.min_height, sm.origin)[occ], sm.min_height[occ], atol=1e-5)
 
 
 def test_moment_count(pair):
     cfg, sm, grid = pair
     occ = sm.hit > 0
-    np.testing.assert_allclose(np.asarray(grid.n)[occ], sm.n[occ], rtol=1e-6)
+    np.testing.assert_allclose(canonical(grid.n, sm.origin)[occ], sm.n[occ], rtol=1e-6)
 
 
 def test_covariance(pair):
     cfg, sm, grid = pair
     occ = sm.hit > 0
-    cov_engine = np.asarray(moments.covariance(grid.n, grid.m2))
+    cov_engine = canonical(moments.covariance(grid.n, grid.m2), sm.origin)
     cov_oracle = np.moveaxis(sm.cov, -1, 0)
     np.testing.assert_allclose(cov_engine[:, occ], cov_oracle[:, occ], atol=2e-4)
 
@@ -70,8 +71,8 @@ def test_covariance(pair):
 def test_local_mean(pair):
     cfg, sm, grid = pair
     occ = sm.hit > 0
-    # engine means are map-local; oracle means are voxel-local
+    # engine means are window-relative; oracle means are voxel-local
     vox = np.stack(np.nonzero(occ), axis=0).astype(np.float64)
-    eng_local = np.asarray(grid.mean)[:, occ] - vox
+    eng_local = canonical(grid.mean, sm.origin)[:, occ] - vox
     ora_local = np.moveaxis(sm.mean, -1, 0)[:, occ]
     np.testing.assert_allclose(eng_local, ora_local, atol=1e-4)
