@@ -1,0 +1,117 @@
+"""Command-line tools.
+
+    python -m gvom_tpu.cli replay  --scans 32 --batch 8       # batched replay on the mesh
+    python -m gvom_tpu.cli replay  --scans 16 --sequential    # facade replay (live-node path)
+    python -m gvom_tpu.cli parity  --scans 5                  # engine vs NumPy-oracle report
+    python -m gvom_tpu.cli bench   ...                        # forwards to bench.py
+
+The parity harness is the SURVEY §4 "replay identical synthetic scans through
+the reference semantics (oracle) and the TPU engine; compare the five output
+maps" — it prints a JSON report of per-map agreement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def cmd_replay(args):
+    from gvom_tpu.config import GvomConfig
+    from gvom_tpu.engine.replay import batched_replay, sequential_replay
+    from gvom_tpu.io.logio import synthesize_log
+
+    cfg = GvomConfig(xy_size=args.grid, z_size=args.grid_z, max_points=args.points)
+    log = synthesize_log(args.scans, channels=args.channels, azimuth_steps=args.azimuth)
+    if args.sequential:
+        engine, outputs, metrics = sequential_replay(cfg, log)
+        print(json.dumps({"mode": "sequential", "scans": len(log), **metrics.snapshot()}, default=float))
+    else:
+        world, products, metrics = batched_replay(cfg, log, batch_size=args.batch)
+        print(json.dumps({"mode": "batched", "scans": len(log), "batches": len(products), **metrics.snapshot()}, default=float))
+
+
+def cmd_parity(args):
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from gvom_tpu.config import GvomConfig
+    from gvom_tpu.io.logio import synthesize_log
+    from gvom_tpu.io.synthetic import nudge_off_grid, pad_scan
+    from gvom_tpu.models import pipeline
+    from gvom_tpu.oracle import NumpyOracle
+    from gvom_tpu.types import empty_buffer_state, empty_world_state
+
+    cfg = GvomConfig(xy_size=args.grid, z_size=args.grid_z, max_points=args.points, buffer_size=3)
+    log = synthesize_log(args.scans, channels=args.channels, azimuth_steps=args.azimuth, max_range=25.0)
+    oracle = NumpyOracle(cfg)
+    buf = empty_buffer_state(cfg)
+    world = empty_world_state(cfg)
+    ing = jax.jit(lambda b, p, v, e: pipeline.ingest_and_insert(cfg, b, p, v, e))
+    com = jax.jit(lambda b, w, e: pipeline.combine(cfg, b, w, e))
+    report = []
+    for pts, ego, _ in log:
+        pts = nudge_off_grid(pts, cfg.xy_resolution, cfg.z_resolution)
+        oracle.process_pointcloud(pts, ego)
+        o_out = oracle.combine_maps()
+        pad, mask = pad_scan(pts, cfg.max_points)
+        buf, _ = ing(buf, jnp.asarray(pad), jnp.asarray(mask), jnp.asarray(np.float32(ego)))
+        world, products, _ = com(buf, world, jnp.asarray(np.float32(ego)))
+        _, o_pos, o_neg, o_rough, o_vis = o_out
+        pos = np.asarray(products.positive_obstacle)
+        report.append(
+            {
+                "vis_equal": bool(np.array_equal(np.asarray(products.visibility), o_vis)),
+                "neg_equal": bool(np.array_equal(np.asarray(products.negative_obstacle), o_neg)),
+                "pos_mismatch_frac": float((pos != o_pos).mean()),
+                "pos_max_diff": int(np.abs(pos - o_pos).max()),
+                "rough_max_diff_defined": float(
+                    np.abs(np.asarray(products.roughness) - o_rough)[(o_rough > -1)].max()
+                    if (o_rough > -1).any()
+                    else 0.0
+                ),
+                "height_max_diff": float(
+                    np.abs(np.asarray(products.height) - oracle.height_map).max()
+                ),
+            }
+        )
+    print(json.dumps({"config": {"grid": args.grid, "scans": args.scans}, "per_combine": report}, indent=2))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="gvom_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    rp = sub.add_parser("replay", help="replay a synthetic drive")
+    rp.add_argument("--scans", type=int, default=16)
+    rp.add_argument("--batch", type=int, default=8)
+    rp.add_argument("--sequential", action="store_true")
+    rp.add_argument("--grid", type=int, default=128)
+    rp.add_argument("--grid-z", type=int, default=64)
+    rp.add_argument("--points", type=int, default=65536)
+    rp.add_argument("--channels", type=int, default=64)
+    rp.add_argument("--azimuth", type=int, default=1024)
+    rp.set_defaults(fn=cmd_replay)
+
+    pp = sub.add_parser("parity", help="engine vs oracle parity report")
+    pp.add_argument("--scans", type=int, default=5)
+    pp.add_argument("--grid", type=int, default=64)
+    pp.add_argument("--grid-z", type=int, default=32)
+    pp.add_argument("--points", type=int, default=8192)
+    pp.add_argument("--channels", type=int, default=32)
+    pp.add_argument("--azimuth", type=int, default=64)
+    pp.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    pp.set_defaults(fn=cmd_parity)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
