@@ -179,7 +179,7 @@ class Gvom:
         xs, ys, zs = np.nonzero(occ)
         if len(xs) == 0:
             return np.zeros((0, 8), np.float32)
-        cov = moments.covariance(g.n, g.m2)
+        cov = moments.covariance(g.n, g.mean, g.m2)
         ev = self._canonical(np.asarray(moments.eigenvalues(cov)), origin)
         hit = self._canonical(np.asarray(g.hit), origin)[xs, ys, zs].astype(np.float32)
         tot = self._canonical(np.asarray(g.hit + g.miss), origin)[xs, ys, zs].astype(np.float32)

@@ -201,7 +201,7 @@ def combine(
             jnp.where(m[None], src.mean, 0.0),
             jnp.where(m[None], src.m2, 0.0),
         )
-        mo = moments.chan_merge(mo, src_mom)
+        mo = moments.raw_merge(mo, src_mom)  # raw voxel-local sums: plain add
         return h, ms, mh, mo
 
     acc = (hit, miss, min_height, mom)

@@ -7,13 +7,14 @@ TPU-native design: no atomics. The XLA path uses deterministic scatter-adds
 replaced by sort+segment / matmul-histogram kernels via the registry. All
 outputs are dense grids.
 
-Moments leave here in *own-voxel Chan form*: per voxel n0 (points inside the
-voxel only), mean in map-local voxel units, centered M2. They are accumulated
-on a grid padded by the eigen support radius because the reference expands
-each point into neighbors without checking the point's own voxel bounds
-(gvom.py:1184-1202) — border-external points legitimately feed border voxels.
-Neighborhood expansion itself is a separable Chan-merge box filter in
-ops.moments.
+Moments leave here as *own-voxel raw sums* in the voxel's local frame
+(gvom.py:1205-1207): n0 (points inside the voxel only), S1 = Σ(p − v),
+R2 = Σ(p − v)(p − v)ᵀ — no normalization, no centering; see ops/moments for
+why raw sums. They are accumulated on a grid padded by the eigen support
+radius because the reference expands each point into neighbors without
+checking the point's own voxel bounds (gvom.py:1184-1202) — border-external
+points legitimately feed border voxels. Neighborhood expansion itself is a
+separable shift+translate box filter in ops.moments.
 """
 
 from __future__ import annotations
@@ -39,8 +40,8 @@ class PointBins(NamedTuple):
     hit: jnp.ndarray          # [X,Y,Z] int32
     min_height: jnp.ndarray   # [X,Y,Z] f32 (init 1.0; sub-voxel z of lowest point)
     n0: jnp.ndarray           # [X+2rx,Y+2rx,Z+2rz] f32 — per-voxel own point count (padded)
-    mean0: jnp.ndarray        # [3, padded...] f32 — own-point mean, map-local voxel units
-    m20: jnp.ndarray          # [6, padded...] f32 — own-point centered second moments
+    s1: jnp.ndarray           # [3, padded...] f32 — Σ(p − v), own-voxel-local raw first moments
+    s2: jnp.ndarray           # [6, padded...] f32 — Σ(p−v)(p−v)ᵀ raw second moments (xx,xy,xz,yy,yz,zz)
 
 
 def prepare_points(
@@ -125,16 +126,4 @@ def bin_points(
     s1 = jnp.zeros((3,) + pshape, jnp.float32).at[:, px, py, pz].add(jnp.where(inp, local.T, 0.0))
     prods = jnp.stack([local[:, i] * local[:, j] for i, j in _PAIRS], axis=0)   # [6,N]
     s2 = jnp.zeros((6,) + pshape, jnp.float32).at[:, px, py, pz].add(jnp.where(inp[None, :], prods, 0.0))
-
-    nz = s0 > 0
-    denom = jnp.where(nz, s0, 1.0)
-    mu_local = s1 / denom                                 # own-frame mean in [0,1)
-    m2 = s2 - s0 * jnp.stack([mu_local[i] * mu_local[j] for i, j in _PAIRS], axis=0)
-    # mean in (unpadded) map-local voxel units = own-frame mean + voxel index
-    vox_f = jnp.stack(
-        [jax.lax.broadcasted_iota(jnp.float32, pshape, a) - pad[a].astype(jnp.float32) for a in range(3)],
-        axis=0,
-    )
-    mean = jnp.where(nz, mu_local + vox_f, 0.0)
-    m2 = jnp.where(nz, m2, 0.0)
-    return PointBins(hit=hit, min_height=mh, n0=jnp.where(nz, s0, 0.0), mean0=mean, m20=m2)
+    return PointBins(hit=hit, min_height=mh, n0=s0, s1=s1, s2=s2)

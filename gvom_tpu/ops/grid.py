@@ -118,15 +118,14 @@ def align_to(cfg: GvomConfig, grid, new_origin: jnp.ndarray):
     from gvom_tpu.types import VoxelGrid
 
     mask = overlap_mask(cfg, new_origin, grid.origin)
-    d = (new_origin - grid.origin).astype(jnp.float32)
-    mean = jnp.where(mask[None] & (grid.n[None] > 0), grid.mean - d[:, None, None, None], 0.0)
     return VoxelGrid(
         hit=jnp.where(mask, grid.hit, 0),
         miss=jnp.where(mask, grid.miss, 0),
         evidence=jnp.where(mask, grid.evidence, 0),
         min_height=jnp.where(mask, grid.min_height, 1.0),
         n=jnp.where(mask, grid.n, 0.0),
-        mean=mean,
+        # raw voxel-local moment sums are frame-invariant: masks only
+        mean=jnp.where(mask[None], grid.mean, 0.0),
         m2=jnp.where(mask[None], grid.m2, 0.0),
         origin=new_origin,
     )
@@ -154,23 +153,18 @@ def torus_to_window(arr: jnp.ndarray, origin: jnp.ndarray, grid_ndim: int = 3) -
 def shift_align_grid(grid, d: jnp.ndarray):
     """Align a VoxelGrid's arrays to a frame offset by d = dst_origin − src_origin.
 
-    Means are kept in map-local voxel units, so the shift also subtracts d from
-    them (translation; M2 is translation-invariant). Returns a new VoxelGrid
-    whose origin equals src.origin + d.
+    Moment sums are voxel-local (frame-invariant) — a pure data shift.
+    Returns a new VoxelGrid whose origin equals src.origin + d.
     """
     from gvom_tpu.types import VoxelGrid
 
-    mean_shifted = shift_align(grid.mean, d, 0.0) - d.astype(jnp.float32)[:, None, None, None]
-    n_shifted = shift_align(grid.n, d, 0.0)
-    # keep means zero where no data so fill regions stay inert
-    mean_shifted = jnp.where(n_shifted > 0, mean_shifted, 0.0)
     return VoxelGrid(
         hit=shift_align(grid.hit, d, 0),
         miss=shift_align(grid.miss, d, 0),
         evidence=shift_align(grid.evidence, d, 0),
         min_height=shift_align(grid.min_height, d, 1.0),
-        n=n_shifted,
-        mean=mean_shifted,
+        n=shift_align(grid.n, d, 0.0),
+        mean=shift_align(grid.mean, d, 0.0),
         m2=shift_align(grid.m2, d, 0.0),
         origin=grid.origin + d,
     )

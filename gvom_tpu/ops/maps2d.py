@@ -39,7 +39,9 @@ __all__ = [
     "visibility_map",
 ]
 
-_BIG = jnp.int32(1 << 20)
+# plain int (a jnp scalar here would initialize the device backend at import
+# time, pinning the platform before hosts can select the virtual CPU mesh)
+_BIG = 1 << 20
 
 
 def _z_priority(cfg: GvomConfig, origin: jnp.ndarray) -> jnp.ndarray:

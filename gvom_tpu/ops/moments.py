@@ -1,17 +1,24 @@
-"""Moment algebra: Chan-style merges, the neighborhood box aggregation, and
+"""Moment algebra: raw voxel-local sums, the neighborhood box aggregation, and
 covariance/eigenvalue features.
 
 Replaces the reference's two-pass mean→covariance atomic scatter with
 neighborhood expansion (K8-K11, gvom.py:1170-1299) and its parallel-axis map
-merge (K15, gvom.py:853-909). State is (n, μ, M2) with M2 = Σ(p−μ)(p−μ)ᵀ
-unnormalized — the reference's normalized covariance is C = M2/n, and its
-merge formula `C = (n1C1 + n2C2 + n1δ1δ1ᵀ + n2δ2δ2ᵀ)/(n1+n2)` is exactly the
-Chan merge below multiplied through by n. The Chan form is associative and
-translation-invariant, which is what lets:
+merge (K15, gvom.py:853-909). State is raw sums in the *target voxel's local
+frame* — n (point count, metrics[9]), S1 = Σ(p − v), R2 = Σ(p − v)(p − v)ᵀ —
+exactly the frame the reference's metrics use (gvom.py:1205-1207). The
+reference's normalized forms are recovered only at read time:
+mean = S1/n, covariance C = R2/n − (S1/n)(S1/n)ᵀ.
 
-  * the ±eigen_dist neighborhood expansion become a separable box filter
-    (3 shifted merges per axis instead of 27 scatter passes per point), and
-  * map fusion / scan batching / device psum all reuse one merge primitive.
+Why raw sums and not Chan-style (n, μ, M2):
+
+  * every merge — buffer-slot fusion, scan batching, device psum — is a plain
+    masked ADD: associative, division-free, and exactly what the fused hot
+    path wants (Chan merges cost ~16 ms/step in divisions at 256³ grids);
+  * voxel-local sums are frame-INVARIANT under re-origining, so the torus
+    re-origin (ops/grid.align_to) is masks only, no mean adjustment;
+  * the ±eigen_dist neighborhood expansion is a separable shift+translate box
+    filter (the translate is a static-offset polynomial update, below) —
+    3 shifted adds per axis instead of 27 scatter passes per point.
 
 Eigenvalues use the closed-form trigonometric method for symmetric 3×3
 matrices, same algorithm as the reference (gvom.py:1331-1378).
@@ -27,32 +34,47 @@ import jax.numpy as jnp
 from gvom_tpu.config import GvomConfig
 from gvom_tpu.ops.binning import PointBins, moment_pad
 
-__all__ = ["chan_merge", "box_aggregate_moments", "covariance", "eigenvalues"]
+__all__ = [
+    "raw_merge",
+    "translate_raw",
+    "box_aggregate_moments",
+    "mean_local",
+    "covariance",
+    "eigenvalues",
+]
 
 _PAIRS = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
 
-Moments = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # n [..], mean [3,..], m2 [6,..]
+Moments = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # n [..], s1 [3,..], s2 [6,..]
+
+# per axis: (diagonal pair index, [(cross pair index, S1 component)])
+_AX_TERMS = {
+    0: (0, ((1, 1), (2, 2))),  # xx; xy += t·S1_y, xz += t·S1_z
+    1: (3, ((1, 0), (4, 2))),  # yy; xy += t·S1_x, yz += t·S1_z
+    2: (5, ((2, 0), (4, 1))),  # zz; xz += t·S1_x, yz += t·S1_y
+}
 
 
-def chan_merge(a: Moments, b: Moments) -> Moments:
-    """Associative merge of two moment sets (elementwise over trailing dims)."""
-    n1, mu1, m21 = a
-    n2, mu2, m22 = b
-    n = n1 + n2
-    safe = jnp.where(n > 0, n, 1.0)
-    mu = (mu1 * n1 + mu2 * n2) / safe
-    d1 = mu1 - mu
-    d2 = mu2 - mu
-    corr = jnp.stack(
-        [n1 * d1[i] * d1[j] + n2 * d2[i] * d2[j] for i, j in _PAIRS], axis=0
-    )
-    m2 = m21 + m22 + corr
-    has = n > 0
-    return (
-        jnp.where(has, n, 0.0),
-        jnp.where(has, mu, 0.0),
-        jnp.where(has, m2, 0.0),
-    )
+def raw_merge(a: Moments, b: Moments) -> Moments:
+    """Merge two same-frame raw-moment sets: a plain add."""
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def translate_raw(
+    n: jnp.ndarray, s1: jnp.ndarray, s2: jnp.ndarray, axis: int, t: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Re-express raw local sums after shifting the frame by −t along `axis`
+    (coordinates become x + t·e_axis): S1' = S1 + n·t·e, R2' picks up the
+    parallel-axis cross terms. Static offset → compiles to fused adds."""
+    tf = jnp.float32(t)
+    diag, cross = _AX_TERMS[axis]
+    s2_c = [s2[i] for i in range(6)]
+    s2_c[diag] = s2_c[diag] + (2.0 * tf) * s1[axis] + (tf * tf) * n
+    for pidx, comp in cross:
+        s2_c[pidx] = s2_c[pidx] + tf * s1[comp]
+    s1_c = [s1[i] for i in range(3)]
+    s1_c[axis] = s1_c[axis] + tf * n
+    return jnp.stack(s1_c, axis=0), jnp.stack(s2_c, axis=0)
 
 
 def _shifted(arr: jnp.ndarray, off: int, axis: int) -> jnp.ndarray:
@@ -75,34 +97,47 @@ def _shifted(arr: jnp.ndarray, off: int, axis: int) -> jnp.ndarray:
 
 
 def box_aggregate_moments(cfg: GvomConfig, bins: PointBins) -> Moments:
-    """Aggregate own-voxel moments over the ±xy_eigen_dist/±z_eigen_dist box
-    (the reference's per-point neighborhood scatter, gvom.py:1188-1202) and
-    crop the padding. Returns map-frame (n, mean, m2) on the unpadded grid."""
-    n, mu, m2 = bins.n0, bins.mean0, bins.m20
+    """Aggregate own-voxel raw moments over the ±xy_eigen_dist/±z_eigen_dist
+    box (the reference's per-point neighborhood scatter, gvom.py:1188-1202):
+    target u receives source v = u + off with coordinates translated into u's
+    local frame (p − u = (p − v) + off·e). Crops the padding; returns
+    voxel-local (n, S1, R2) on the unpadded grid."""
+    n, s1, s2 = bins.n0, bins.s1, bins.s2
     radii = moment_pad(cfg)
     for ax, r in enumerate(radii):
         if r == 0:
             continue
-        acc = (n, mu, m2)
+        acc_n, acc_s1, acc_s2 = n, s1, s2
         for off in range(-r, r + 1):
             if off == 0:
                 continue
-            sh = (
-                _shifted(n, off, ax),
-                _shifted(mu, off, ax + 1),
-                _shifted(m2, off, ax + 1),
+            sn = _shifted(n, off, ax)
+            ts1, ts2 = translate_raw(
+                sn, _shifted(s1, off, ax + 1), _shifted(s2, off, ax + 1), ax, float(off)
             )
-            acc = chan_merge(acc, sh)
-        n, mu, m2 = acc
+            acc_n = acc_n + sn
+            acc_s1 = acc_s1 + ts1
+            acc_s2 = acc_s2 + ts2
+        n, s1, s2 = acc_n, acc_s1, acc_s2
     rx, ry, rz = radii
     sl = (slice(rx, rx + cfg.xy_size), slice(ry, ry + cfg.xy_size), slice(rz, rz + cfg.z_size))
-    return n[sl], mu[(slice(None),) + sl], m2[(slice(None),) + sl]
+    return n[sl], s1[(slice(None),) + sl], s2[(slice(None),) + sl]
 
 
-def covariance(n: jnp.ndarray, m2: jnp.ndarray) -> jnp.ndarray:
-    """Normalized covariance C = M2/n, zeros where empty (gvom.py:1287-1299)."""
+def mean_local(n: jnp.ndarray, s1: jnp.ndarray) -> jnp.ndarray:
+    """Voxel-local normalized mean S1/n (reference metrics[0:3],
+    gvom.py:1222-1230), zeros where empty."""
     safe = jnp.where(n > 0, n, 1.0)
-    return jnp.where(n > 0, m2 / safe, 0.0)
+    return jnp.where(n[None] > 0, s1 / safe[None], 0.0)
+
+
+def covariance(n: jnp.ndarray, s1: jnp.ndarray, s2: jnp.ndarray) -> jnp.ndarray:
+    """Normalized covariance C = R2/n − μμᵀ with μ = S1/n, zeros where empty
+    (gvom.py:1287-1299)."""
+    safe = jnp.where(n > 0, n, 1.0)
+    mu = s1 / safe[None]
+    cov = s2 / safe[None] - jnp.stack([mu[i] * mu[j] for i, j in _PAIRS], axis=0)
+    return jnp.where(n[None] > 0, cov, 0.0)
 
 
 def eigenvalues(cov: jnp.ndarray) -> jnp.ndarray:

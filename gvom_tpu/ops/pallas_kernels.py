@@ -212,6 +212,16 @@ def ray_pass_counts_matmul(
         jnp.minimum(jnp.floor(budget / jnp.maximum(delta, 1e-20)).astype(jnp.int32) + 1, S),
         0,
     )
+    # ... further bounded by grid exit: pos_a(s) = start_a + s·step_a leaves
+    # [0, size_a) monotonically (convex box ⇒ exited stays exited). A +2
+    # margin keeps the bound conservative against f32 rounding; the in-kernel
+    # masks stay exact.
+    sizes_f = jnp.array([X, Y, Z], jnp.float32)
+    pos_exit = (sizes_f[None, :] - start_rel[None, :]) / jnp.where(step > 0, step, 1.0)
+    neg_exit = (start_rel[None, :] + 1.0) / jnp.where(step < 0, -step, 1.0)
+    per_axis = jnp.where(step > 0, pos_exit, jnp.where(step < 0, neg_exit, jnp.float32(1e9)))
+    s_exit = jnp.floor(jnp.min(per_axis, axis=1)).astype(jnp.int32) + 2
+    kmax = jnp.minimum(kmax, jnp.maximum(s_exit, 0))
 
     # sort rays by (group, descending kmax) so live rays at step s are a prefix
     key = group * (S + 2) + (S + 1 - kmax)
@@ -446,8 +456,8 @@ def fused_point_moments(
     origin: jnp.ndarray,
     interpret: bool = False,
 ):
-    """Returns (hit [X,Y,Z] i32, n, mean, m2) — mean in map-local voxel units,
-    m2 centered — matching binning.bin_points + moments.box_aggregate_moments."""
+    """Returns (hit [X,Y,Z] i32, n, s1, s2) — raw target-voxel-local moment
+    sums, matching binning.bin_points + moments.box_aggregate_moments."""
     from gvom_tpu.ops import grid as gridops
     from gvom_tpu.ops.binning import moment_pad
 
@@ -522,25 +532,11 @@ def fused_point_moments(
     s1 = jnp.stack([core[:, 1], core[:, 2], core[:, 3]], axis=0)  # Σ(p−v), target-local
     s2 = jnp.stack([core[:, 4 + i] for i in range(6)], axis=0)
     hit = core[:, 10].astype(jnp.int32)
-    has = nbox > 0
-    safe = jnp.where(has, nbox, 1.0)
-    mu_local = s1 / safe                                   # reference's voxel-local mean
-    m2 = s2 - nbox[None] * jnp.stack(
-        [mu_local[i] * mu_local[j] for i, j in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))],
-        axis=0,
-    )
-    # window-relative coordinate of each cell: x rows are window order,
-    # y/z columns are torus order
-    relx = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 0)
-    rely = ((jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 1) - origin[1]) % Y).astype(jnp.float32)
-    relz = ((jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 2) - origin[2]) % Z).astype(jnp.float32)
-    vox_f = jnp.stack([relx, rely, relz], axis=0)
-    mean = jnp.where(has[None], mu_local + vox_f, 0.0)
-    m2 = jnp.where(has[None], m2, 0.0)
-    # finally move the x axis into torus layout (leading-axis roll: contiguous)
+    # raw sums need no normalization — move the x axis into torus layout
+    # (leading-axis roll: contiguous) and return
     rollx = origin[0] % X
     hit = jnp.roll(hit, rollx, axis=0)
-    nbox = jnp.roll(jnp.where(has, nbox, 0.0), rollx, axis=0)
-    mean = jnp.roll(mean, rollx, axis=1)
-    m2 = jnp.roll(m2, rollx, axis=1)
-    return hit, nbox, mean, m2
+    nbox = jnp.roll(nbox, rollx, axis=0)
+    s1 = jnp.roll(s1, rollx, axis=1)
+    s2 = jnp.roll(s2, rollx, axis=1)
+    return hit, nbox, s1, s2

@@ -55,16 +55,17 @@ def world_pspecs() -> WorldState:
 
 
 def _merge_scan_grids(a: VoxelGrid, b: VoxelGrid) -> VoxelGrid:
-    """Associative merge of two same-origin scan contributions."""
-    n, mean, m2 = moments.chan_merge((a.n, a.mean, a.m2), (b.n, b.mean, b.m2))
+    """Associative merge of two same-origin scan contributions.
+
+    Moment channels are raw voxel-local sums (ops/moments) — plain adds."""
     return VoxelGrid(
         hit=a.hit + b.hit,
         miss=a.miss + b.miss,
         evidence=a.evidence + b.evidence,
         min_height=jnp.minimum(a.min_height, b.min_height),
-        n=n,
-        mean=mean,
-        m2=m2,
+        n=a.n + b.n,
+        mean=a.mean + b.mean,
+        m2=a.m2 + b.m2,
         origin=a.origin,
     )
 
@@ -98,16 +99,16 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
         local, oks = jax.lax.scan(ingest_one, init, (scans, valid, egos))
 
         # ---- reduce scan contributions across the data axis ----
+        # raw voxel-local moment sums psum exactly (ops/moments)
         minh = -jax.lax.pmax(-local.min_height, DATA_AXIS)   # min via -max(-x)
-        n, mean, m2 = _psum_chan(local, cfg)
         contrib = VoxelGrid(
             hit=jax.lax.psum(local.hit, DATA_AXIS),
             miss=jax.lax.psum(local.miss, DATA_AXIS),
             evidence=jax.lax.psum(local.evidence, DATA_AXIS),
             min_height=minh,
-            n=n,
-            mean=mean,
-            m2=m2,
+            n=jax.lax.psum(local.n, DATA_AXIS),
+            mean=jax.lax.psum(local.mean, DATA_AXIS),
+            m2=jax.lax.psum(local.m2, DATA_AXIS),
             origin=origin,
         )
 
@@ -130,7 +131,7 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
             contrib.evidence,
         )
         msel = old_occ & occ2
-        n, mean, m2 = moments.chan_merge(
+        n, mean, m2 = moments.raw_merge(
             (contrib.n, contrib.mean, contrib.m2),
             (
                 jnp.where(msel, old.n, 0.0),
@@ -191,29 +192,6 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
         idx = jax.lax.axis_index(SPACE_AXIS)
         size = leaf.shape[axis] // nsp
         return jax.lax.dynamic_slice_in_dim(leaf, idx * size, size, axis=axis)
-
-    def _psum_chan(local, cfg_):
-        # Chan moments are plain psum-able in (n, n*mean, M2-with-correction)?
-        # They are not: use the associative pairwise reduction over the data
-        # axis via psum of raw-equivalent sums. n and n*mean psum exactly;
-        # M2 needs the parallel-axis correction, recovered from the psum'd
-        # raw second moments: M2_tot = Σ(M2_i + n_i μ_i μ_iᵀ) − n μ μᵀ.
-        pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
-        n_t = jax.lax.psum(local.n, DATA_AXIS)
-        s1_t = jax.lax.psum(local.n[None] * local.mean, DATA_AXIS)
-        raw2 = local.m2 + local.n[None] * jnp.stack(
-            [local.mean[i] * local.mean[j] for i, j in pairs], axis=0
-        )
-        s2_t = jax.lax.psum(raw2, DATA_AXIS)
-        safe = jnp.where(n_t > 0, n_t, 1.0)
-        mu = s1_t / safe
-        m2 = s2_t - n_t[None] * jnp.stack([mu[i] * mu[j] for i, j in pairs], axis=0)
-        has = n_t > 0
-        return (
-            jnp.where(has, n_t, 0.0),
-            jnp.where(has[None], mu, 0.0),
-            jnp.where(has[None], m2, 0.0),
-        )
 
     sharded = shard_map(
         device_fn,

@@ -13,10 +13,13 @@ gvom.py:1152-1159):
     unobserved        <=> hit == 0 and miss == 0    (reference: index == -1)
 `total_count` of the reference equals `hit + miss` here.
 
-Moments are Chan-style: n (neighborhood point count, reference metrics[9]),
-mean (3, in map-local voxel units: p/res - origin), m2 (6 centered second-moment
-sums, so reference covariance == m2/n; upper triangle order xx,xy,xz,yy,yz,zz,
-matching gvom.py:849-850).
+Moments are raw voxel-local sums: n (neighborhood point count, reference
+metrics[9]), mean := S1 = sum of (p - v) over the support box (voxel-local, so
+frame-INVARIANT under re-origining), m2 := R2 = sum of (p-v)(p-v)^T. The
+reference's normalized forms are recovered at read time only (debug path):
+mean_local = S1/n, covariance = R2/n - (S1/n)(S1/n)^T (upper triangle order
+xx,xy,xz,yy,yz,zz, matching gvom.py:849-850). Raw sums make every merge a
+plain masked add - associative, psum-able, and division-free in the hot path.
 """
 
 from __future__ import annotations
@@ -57,8 +60,8 @@ class VoxelGrid(NamedTuple):
                              #   Distinct from `miss`: once occupied, misses feed totals, not evidence.
     min_height: jnp.ndarray  # [X, Y, Z] float32 — sub-voxel z of lowest point, init 1.0 (gvom.py:1014)
     n: jnp.ndarray           # [X, Y, Z] float32 — neighborhood point count (metrics[9])
-    mean: jnp.ndarray        # [3, X, Y, Z] float32 — mean point position, map-local voxel units
-    m2: jnp.ndarray          # [6, X, Y, Z] float32 — centered second-moment sums (xx,xy,xz,yy,yz,zz)
+    mean: jnp.ndarray        # [3, X, Y, Z] float32 — S1: raw voxel-local first-moment sums
+    m2: jnp.ndarray          # [6, X, Y, Z] float32 — R2: raw voxel-local second-moment sums
     origin: jnp.ndarray      # [3] int32 — grid origin in voxel units
 
     @property

@@ -51,17 +51,17 @@ def test_raycast_matmul_empty(scene):
 def test_fused_moments_matches_scatter_path(scene):
     cfg, pw, keep, e, origin = scene
     bins = jax.jit(lambda: binning.bin_points(cfg, pw, keep, origin))()
-    n0, mean0, m20 = jax.jit(lambda: moments.box_aggregate_moments(cfg, bins))()
-    hit, n1, mean1, m21 = jax.jit(
+    n0, s1_0, s2_0 = jax.jit(lambda: moments.box_aggregate_moments(cfg, bins))()
+    hit, n1, s1_1, s2_1 = jax.jit(
         lambda: fused_point_moments(cfg, pw, keep, origin, interpret=True)
     )()
     # bins.hit is torus; box-aggregate outputs are window layout
     np.testing.assert_array_equal(np.asarray(hit), np.asarray(bins.hit))
-    n1c = canonical(n1, origin); mean1c = canonical(mean1, origin); m21c = canonical(m21, origin)
+    n1c = canonical(n1, origin); s1c = canonical(s1_1, origin); s2c = canonical(s2_1, origin)
     occ = canonical(bins.hit, origin) > 0
     np.testing.assert_allclose(n1c[occ], np.asarray(n0)[occ], atol=1e-3)
-    np.testing.assert_allclose(mean1c[:, occ], np.asarray(mean0)[:, occ], atol=1e-4)
-    np.testing.assert_allclose(m21c[:, occ], np.asarray(m20)[:, occ], atol=5e-4)
+    np.testing.assert_allclose(s1c[:, occ], np.asarray(s1_0)[:, occ], rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(s2c[:, occ], np.asarray(s2_0)[:, occ], rtol=1e-5, atol=2e-3)
 
 
 def test_fused_moments_border_points(small_cfg):

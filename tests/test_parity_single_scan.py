@@ -63,7 +63,7 @@ def test_moment_count(pair):
 def test_covariance(pair):
     cfg, sm, grid = pair
     occ = sm.hit > 0
-    cov_engine = canonical(moments.covariance(grid.n, grid.m2), sm.origin)
+    cov_engine = canonical(moments.covariance(grid.n, grid.mean, grid.m2), sm.origin)
     cov_oracle = np.moveaxis(sm.cov, -1, 0)
     np.testing.assert_allclose(cov_engine[:, occ], cov_oracle[:, occ], atol=2e-4)
 
@@ -71,8 +71,7 @@ def test_covariance(pair):
 def test_local_mean(pair):
     cfg, sm, grid = pair
     occ = sm.hit > 0
-    # engine means are window-relative; oracle means are voxel-local
-    vox = np.stack(np.nonzero(occ), axis=0).astype(np.float64)
-    eng_local = canonical(grid.mean, sm.origin)[:, occ] - vox
+    # engine stores raw voxel-local sums; normalize to the oracle's mean
+    eng_local = canonical(moments.mean_local(grid.n, grid.mean), sm.origin)[:, occ]
     ora_local = np.moveaxis(sm.mean, -1, 0)[:, occ]
     np.testing.assert_allclose(eng_local, ora_local, atol=1e-4)
