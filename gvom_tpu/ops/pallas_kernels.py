@@ -52,7 +52,7 @@ _SBLOCK = 12  # steps per grid instance — TPU pays ~26µs fixed cost per grid
 
 
 def _hist_kernel_factory(SB: int, PAIRED: bool):
-    def kernel(meta_ref, startuv_ref, ouv_ref, su_ref, sv_ref, delta_ref, budget_ref, out_ref):
+    def kernel(meta_ref, startuv_ref, ouv_ref, su_ref, sv_ref, out_ref):
         """One (group-pair, step-block) instance.
 
         When PAIRED, each instance covers groups (2a, 2a+1): their chunks are
@@ -61,9 +61,20 @@ def _hist_kernel_factory(SB: int, PAIRED: bool):
         serves both groups — N=2V=128 fills the MXU, halving pass count vs
         per-group N=64 matmuls.
 
+        Inner-body layout (perf-critical): the pair's two chunks are fused at
+        the 1-D vector level (cheap [2·CHUNK] concats + per-half scalar
+        selects), so each iteration builds exactly ONE u one-hot and ONE v
+        one-hot and issues ONE int8 MXU matmul with int32 accumulation
+        (counts are exact; int8 runs at 2× bf16 on v5e). One-hot generation
+        (VPU) overlaps the matmul (MXU) — measured ~0.8 µs/chunk vs 6.6 µs
+        for the per-group bf16 + 2-D-concat formulation.
+
         meta_ref (SMEM): [G, S+1, 5] int32 (abase, nchunks, first, count, dom_ok)
         startuv_ref (SMEM): [G, 2] f32 — start_rel components on the (u, v) axes
-        su/sv/delta/budget (VMEM): [Npad] f32 ray params, group-sorted
+        su/sv (VMEM): [Npad] f32 ray slopes, group-sorted by descending kmax —
+        rays in [first, first+count) are exactly those still live at step s
+        (count = #rays with exact kmax ≥ s), so no per-ray budget test exists
+        in the kernel at all.
         out_ref (VMEM): [1, SB, U, n_sub*V] f32
         """
         a = pl.program_id(0)
@@ -71,84 +82,83 @@ def _hist_kernel_factory(SB: int, PAIRED: bool):
         U = out_ref.shape[2]
         n_sub = 2 if PAIRED else 1
         V = out_ref.shape[3] // n_sub
+        K = n_sub * _CHUNK
         # torus layout: hist columns are torus indices — compare window-
         # relative coordinates against origin-remapped iotas (built once per
         # instance; both groups of a pair share non-dominant axes)
         ga = 2 * a if PAIRED else a
         ou = ouv_ref[ga, 0]
         ov = ouv_ref[ga, 1]
-        iu_raw = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, U), 1)
+        iu_raw = jax.lax.broadcasted_iota(jnp.int32, (K, U), 1)
         iu = (iu_raw - ou) % U
-        iv_raw = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, n_sub * V), 1)
+        iv_raw = jax.lax.broadcasted_iota(jnp.int32, (K, n_sub * V), 1)
         iv2 = ((iv_raw % V) - ov) % V + (iv_raw // V) * V
-        ii = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)[:, 0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
+        half1 = rows >= _CHUNK               # second half ⇔ pair's odd group
+        rin = rows % _CHUNK
+        npad = su_ref.shape[0]
 
-        def onehots(g, voff, s, c):
-            """(ohu, ohv) for group g's chunk c at step s; ohv columns offset
-            by voff (the block-diagonal half)."""
-            sf = s * 1.0
-            abase = meta_ref[g, s, 0]
-            nchunks = meta_ref[g, s, 1]
-            first = meta_ref[g, s, 2]
-            count = meta_ref[g, s, 3]
-            dom_ok = meta_ref[g, s, 4]
-            npad = su_ref.shape[0]
-            # clamp: the pair iterates to max(nchunks) — the smaller group's
-            # base must stay in bounds (its lanes are masked dead anyway)
-            base = pl.multiple_of(jnp.minimum(abase + c * _CHUNK, npad - _CHUNK), _CHUNK)
-            su = su_ref[pl.ds(base, _CHUNK)]
-            sv = sv_ref[pl.ds(base, _CHUNK)]
-            delta = delta_ref[pl.ds(base, _CHUNK)]
-            budget = budget_ref[pl.ds(base, _CHUNK)]
-            u = jnp.floor(startuv_ref[g, 0] + sf * su).astype(jnp.int32)
-            v = jnp.floor(startuv_ref[g, 1] + sf * sv).astype(jnp.int32)
-            gi = base + ii
-            live = (
-                (c < nchunks) & (dom_ok > 0)
-                & (gi >= first) & (gi < first + count)
-                & ((sf - 1.0) * delta < budget)
-            )
-            ok = live & (u >= 0) & (u < U) & (v >= 0) & (v < V)
-            uu = jnp.where(ok, u, -1)
-            vv = jnp.where(ok, v + voff, -1)
-            return (
-                (uu[:, None] == iu).astype(jnp.bfloat16),
-                (vv[:, None] == iv2).astype(jnp.bfloat16),
-            )
+        def sel(a0, a1):
+            """Per-row scalar select: group g0's value on the first chunk
+            half, g1's on the second."""
+            if not PAIRED:
+                return a0
+            return jnp.where(half1, a1, a0)
 
         for j in range(SB):
             s = sb * SB + j + 1          # steps are 1-based (gvom.py:1127)
+            sf = s * 1.0
             if PAIRED:
                 g0, g1 = 2 * a, 2 * a + 1
-                nch = jnp.maximum(meta_ref[g0, s, 1], meta_ref[g1, s, 1])
-                any_work = (meta_ref[g0, s, 3] > 0) | (meta_ref[g1, s, 3] > 0)
             else:
-                g0 = a
-                nch = meta_ref[g0, s, 1]
-                any_work = meta_ref[g0, s, 3] > 0
+                g0 = g1 = a
+            nch = jnp.maximum(meta_ref[g0, s, 1], meta_ref[g1, s, 1])
+            any_work = (meta_ref[g0, s, 3] > 0) | (meta_ref[g1, s, 3] > 0)
             out_ref[0, j] = jnp.zeros((U, n_sub * V), jnp.float32)
 
             @pl.when(any_work)
-            def _(s=s, nch=nch, j=j, g0=g0, a=a):
+            def _(s=s, sf=sf, nch=nch, j=j, g0=g0, g1=g1):
+                ab0, ab1 = meta_ref[g0, s, 0], meta_ref[g1, s, 0]
+                nc = sel(meta_ref[g0, s, 1], meta_ref[g1, s, 1])
+                first = sel(meta_ref[g0, s, 2], meta_ref[g1, s, 2])
+                count = sel(meta_ref[g0, s, 3], meta_ref[g1, s, 3])
+                dom_ok = sel(meta_ref[g0, s, 4], meta_ref[g1, s, 4])
+                start_u = sel(startuv_ref[g0, 0], startuv_ref[g1, 0])
+                start_v = sel(startuv_ref[g0, 1], startuv_ref[g1, 1])
+                voff = sel(jnp.int32(0), jnp.int32(V))
+
                 def body(c, acc):
-                    ohu0, ohv0 = onehots(g0, 0, s, c)
+                    # clamp: the pair iterates to max(nchunks) — the smaller
+                    # group's base must stay in bounds (lanes masked dead)
+                    base0 = pl.multiple_of(jnp.minimum(ab0 + c * _CHUNK, npad - _CHUNK), _CHUNK)
                     if PAIRED:
-                        ohu1, ohv1 = onehots(2 * a + 1, V, s, c)
-                        ohu = jnp.concatenate([ohu0, ohu1], axis=0)
-                        ohv = jnp.concatenate([ohv0, ohv1], axis=0)
+                        base1 = pl.multiple_of(jnp.minimum(ab1 + c * _CHUNK, npad - _CHUNK), _CHUNK)
+                        su = jnp.concatenate([su_ref[pl.ds(base0, _CHUNK)], su_ref[pl.ds(base1, _CHUNK)]])
+                        sv = jnp.concatenate([sv_ref[pl.ds(base0, _CHUNK)], sv_ref[pl.ds(base1, _CHUNK)]])
+                        gi = jnp.where(half1, base1, base0) + rin
                     else:
-                        ohu, ohv = ohu0, ohv0
+                        su = su_ref[pl.ds(base0, _CHUNK)]
+                        sv = sv_ref[pl.ds(base0, _CHUNK)]
+                        gi = base0 + rin
+                    u = jnp.floor(start_u + sf * su).astype(jnp.int32)
+                    v = jnp.floor(start_v + sf * sv).astype(jnp.int32)
+                    live = (c < nc) & (dom_ok > 0) & (gi >= first) & (gi < first + count)
+                    ok = live & (u >= 0) & (u < U) & (v >= 0) & (v < V)
+                    uu = jnp.where(ok, u, -1)
+                    vv = jnp.where(ok, v + voff, -1)
+                    ohu = (uu[:, None] == iu).astype(jnp.int8)
+                    ohv = (vv[:, None] == iv2).astype(jnp.int8)
                     return acc + jax.lax.dot_general(
-                        ohu, ohv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                        ohu, ohv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
                     )
 
-                acc = jax.lax.fori_loop(0, nch, body, jnp.zeros((U, n_sub * V), jnp.float32))
-                out_ref[0, j] = acc
+                acc = jax.lax.fori_loop(0, nch, body, jnp.zeros((U, n_sub * V), jnp.int32))
+                out_ref[0, j] = acc.astype(jnp.float32)
 
     return kernel
 
 
-def _run_hist(meta, startuv, ouv, su, sv, delta, budget, G, S, U, V, interpret=False, paired=True):
+def _run_hist(meta, startuv, ouv, su, sv, G, S, U, V, interpret=False, paired=True):
     SB = _SBLOCK
     S_pad = ((S + SB - 1) // SB) * SB
     if meta.shape[1] < S_pad + 1:
@@ -164,15 +174,13 @@ def _run_hist(meta, startuv, ouv, su, sv, delta, budget, G, S, U, V, interpret=F
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, SB, U, n_sub * V), lambda a, sb: (a, sb, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_inst, S_pad, U, n_sub * V), jnp.float32),
         interpret=interpret,
-    )(meta, startuv, ouv, su, sv, delta, budget)
+    )(meta, startuv, ouv, su, sv)
     if paired:
         # [a, s, U, 2V] → [2a+half, s, U, V]
         out = out.reshape(n_inst, S_pad, U, 2, V).transpose(0, 3, 1, 2, 4).reshape(G, S_pad, U, V)
@@ -200,18 +208,24 @@ def ray_pass_counts_matmul(
     start_rel = start - origin.astype(jnp.float32)
     n = points.shape[0]
 
-    sign_neg = jnp.take_along_axis(step, dom[:, None], axis=1)[:, 0] < 0
-    group = dom * 2 + sign_neg.astype(jnp.int32)          # 0..5
-    uax, vax = _axis_uv(dom)
-    su = jnp.take_along_axis(step, uax[:, None], axis=1)[:, 0]
-    sv = jnp.take_along_axis(step, vax[:, None], axis=1)[:, 0]
+    # component selects (cheap) instead of [N,3] gathers
+    s0, s1, s2 = step[:, 0], step[:, 1], step[:, 2]
+    s_dom = jnp.where(dom == 0, s0, jnp.where(dom == 1, s1, s2))
+    group = dom * 2 + (s_dom < 0).astype(jnp.int32)       # 0..5
+    su = jnp.where(dom == 0, s1, s0)                      # u axis: y for x-dom, else x
+    sv = jnp.where(dom == 2, s1, s2)                      # v axis: y for z-dom, else z
 
-    # upper bound on steps taken: (k-1)*delta < budget ⇒ k ≤ floor(budget/delta)+1
-    kmax = jnp.where(
-        budget >= 0,
-        jnp.minimum(jnp.floor(budget / jnp.maximum(delta, 1e-20)).astype(jnp.int32) + 1, S),
-        0,
-    )
+    # exact per-ray step count: largest k with (k-1)*delta < budget — the
+    # reference's per-step test (gvom.py:1127,1150). floor(budget/delta)+1 is
+    # within ±1 of it (f32 division); two-sided multiply-test fixups make it
+    # exact, so the kernel's liveness test is simply s <= kmax (replacing two
+    # per-chunk VMEM streams + a per-step f32 compare).
+    k0 = jnp.floor(budget / jnp.maximum(delta, 1e-20)).astype(jnp.int32) + 1
+    k0f = k0.astype(jnp.float32)
+    k0 = jnp.where((k0f - 1.0) * delta >= budget, k0 - 1, k0)
+    k0f = k0.astype(jnp.float32)
+    k0 = jnp.where(k0f * delta < budget, k0 + 1, k0)
+    kmax = jnp.clip(jnp.where(budget >= 0, k0, 0), 0, S)
     # ... further bounded by grid exit: pos_a(s) = start_a + s·step_a leaves
     # [0, size_a) monotonically (convex box ⇒ exited stays exited). A +2
     # margin keeps the bound conservative against f32 rounding; the in-kernel
@@ -223,19 +237,18 @@ def ray_pass_counts_matmul(
     s_exit = jnp.floor(jnp.min(per_axis, axis=1)).astype(jnp.int32) + 2
     kmax = jnp.minimum(kmax, jnp.maximum(s_exit, 0))
 
-    # sort rays by (group, descending kmax) so live rays at step s are a prefix
+    # sort rays by (group, descending kmax) so live rays at step s are a
+    # prefix; group and kmax are recovered from the key (3-operand sort)
     key = group * (S + 2) + (S + 1 - kmax)
-    key_s, su_s, sv_s, delta_s, budget_s, kmax_s, group_s = jax.lax.sort(
-        (key, su, sv, delta, budget, kmax, group), num_keys=1
-    )
+    key_s, su_s, sv_s = jax.lax.sort((key, su, sv), num_keys=1)
+    group_s = key_s // (S + 2)
+    kmax_s = (S + 1) - key_s % (S + 2)
 
     # pad so any in-range chunk read stays in bounds; padded rays are dead
     npad = ((n + _CHUNK - 1) // _CHUNK + 1) * _CHUNK
     pad = npad - n
     su_s = jnp.pad(su_s, (0, pad))
     sv_s = jnp.pad(sv_s, (0, pad))
-    delta_s = jnp.pad(delta_s, (0, pad))
-    budget_s = jnp.pad(budget_s, (0, pad), constant_values=-1.0)
 
     # per-group sizes and per-(group, step) live counts via small matmul hists
     ohg = (group_s[:, None] == jnp.arange(6)[None, :]).astype(jnp.bfloat16)
@@ -298,12 +311,12 @@ def ray_pass_counts_matmul(
 
     # --- xy-dominant kernel: groups 0..3, hist over (u∈[0,256), v=z) ---
     meta_xy = build_meta([0, 1, 2, 3])
-    hist_xy = _run_hist(meta_xy, startuv[:4], ouv[:4], su_s, sv_s, delta_s, budget_s, 4, S, X, Z, interpret, paired=True)
+    hist_xy = _run_hist(meta_xy, startuv[:4], ouv[:4], su_s, sv_s, 4, S, X, Z, interpret, paired=True)
 
     # --- z-dominant kernel: groups 4..5, hist over (x, y) ---
     meta_z = build_meta([4, 5])
     Sz = min(S, Z + 2)
-    hist_z = _run_hist(meta_z[:, : Sz + 1], startuv[4:], ouv[4:], su_s, sv_s, delta_s, budget_s, 2, Sz, X, Y, interpret, paired=False)
+    hist_z = _run_hist(meta_z[:, : Sz + 1], startuv[4:], ouv[4:], su_s, sv_s, 2, Sz, X, Y, interpret, paired=False)
 
     # --- placement: one-hot matmul over the step axis (exact, no scatter) ---
     out = jnp.zeros((X, Y, Z), jnp.float32)
@@ -357,8 +370,9 @@ def ray_pass_counts_matmul(
 _PCHUNK = 1024
 
 
-_XBLOCK = 2  # x-slices per grid instance (amortizes the ~26µs instance cost
-             # while keeping the [XB, 11, U, V] output block within VMEM)
+_XBLOCK = 2  # x-slices per grid instance (measured best on v5e: the kernel is
+             # f32-MXU-bound, so larger blocks only grow VMEM pressure — XB=6
+             # with a raised vmem limit measured ~6% slower than XB=2)
 
 
 def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, XB: int, Y: int, Z: int):
@@ -523,6 +537,7 @@ def fused_point_moments(
         ],
         out_specs=pl.BlockSpec((XB, 11, U, V), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Xp_pad, 11, U, V), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(meta, org, px_s, py_s, pz_s)
 

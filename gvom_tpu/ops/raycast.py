@@ -46,7 +46,7 @@ def ray_geometry(cfg: GvomConfig, points: jnp.ndarray, keep: jnp.ndarray, ego_po
     a = jnp.abs(s)
     smax = jnp.max(a, axis=1)
     dom = jnp.where(smax == a[:, 2], 2, jnp.where(smax == a[:, 1], 1, 0))
-    absdom = jnp.take_along_axis(a, dom[:, None], axis=1)[:, 0]
+    absdom = smax  # == a[dom] by construction; avoids a [N,3] gather
     ok = ok & (absdom > 0)
     safe = jnp.where(absdom > 0, absdom, 1.0)
     step = s / safe[:, None]
