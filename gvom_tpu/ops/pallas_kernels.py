@@ -47,12 +47,16 @@ def use_fast_path() -> bool:
         return False
 
 
-_SBLOCK = 12  # steps per grid instance — TPU pays ~26µs fixed cost per grid
-               # instance (measured on v5e), so steps are batched to amortize it
+_SBLOCK_XY = 33  # steps per grid instance. TPU pays ~26µs fixed cost per grid
+_SBLOCK_Z = 22   # instance AND per separate step-body (measured on v5e), so
+                 # each instance runs ONE flattened worklist loop over its
+                 # (step, chunk) pairs — steps without live rays cost nothing.
+                 # Blocks sized so the [1, SB, U, n_sub·V] f32 out block stays
+                 # a few MB (vmem_limit_bytes raised above the 16 MB default).
 
 
 def _hist_kernel_factory(SB: int, PAIRED: bool):
-    def kernel(meta_ref, startuv_ref, ouv_ref, su_ref, sv_ref, out_ref):
+    def kernel(meta_ref, startuv_ref, su_ref, sv_ref, out_ref, aj_ref, ac_ref):
         """One (group-pair, step-block) instance.
 
         When PAIRED, each instance covers groups (2a, 2a+1): their chunks are
@@ -65,17 +69,22 @@ def _hist_kernel_factory(SB: int, PAIRED: bool):
         the 1-D vector level (cheap [2·CHUNK] concats + per-half scalar
         selects), so each iteration builds exactly ONE u one-hot and ONE v
         one-hot and issues ONE int8 MXU matmul with int32 accumulation
-        (counts are exact; int8 runs at 2× bf16 on v5e). One-hot generation
-        (VPU) overlaps the matmul (MXU) — measured ~0.8 µs/chunk vs 6.6 µs
-        for the per-group bf16 + 2-D-concat formulation.
+        (counts are exact; int8 runs at 2× bf16 on v5e). The (step, chunk)
+        worklist is flattened into ONE fori_loop driven by an SMEM-scratch
+        active-step table built once per instance — per-iteration index math
+        is O(1) scalar ops via an SMEM active-step table.
 
         meta_ref (SMEM): [G, S+1, 5] int32 (abase, nchunks, first, count, dom_ok)
-        startuv_ref (SMEM): [G, 2] f32 — start_rel components on the (u, v) axes
+        startuv_ref (SMEM): [G, 2] f32 — start_rel components on the (u, v)
+        axes. Hist columns are WINDOW-relative (the caller torus-rolls the
+        final placed grid once).
         su/sv (VMEM): [Npad] f32 ray slopes, group-sorted by descending kmax —
         rays in [first, first+count) are exactly those still live at step s
         (count = #rays with exact kmax ≥ s), so no per-ray budget test exists
         in the kernel at all.
         out_ref (VMEM): [1, SB, U, n_sub*V] f32
+        aj/ac (SMEM scratch): [SB+2] i32 active-step table (local step id,
+        cumulative chunk count).
         """
         a = pl.program_id(0)
         sb = pl.program_id(1)
@@ -83,20 +92,16 @@ def _hist_kernel_factory(SB: int, PAIRED: bool):
         n_sub = 2 if PAIRED else 1
         V = out_ref.shape[3] // n_sub
         K = n_sub * _CHUNK
-        # torus layout: hist columns are torus indices — compare window-
-        # relative coordinates against origin-remapped iotas (built once per
-        # instance; both groups of a pair share non-dominant axes)
-        ga = 2 * a if PAIRED else a
-        ou = ouv_ref[ga, 0]
-        ov = ouv_ref[ga, 1]
-        iu_raw = jax.lax.broadcasted_iota(jnp.int32, (K, U), 1)
-        iu = (iu_raw - ou) % U
-        iv_raw = jax.lax.broadcasted_iota(jnp.int32, (K, n_sub * V), 1)
-        iv2 = ((iv_raw % V) - ov) % V + (iv_raw // V) * V
+        iuf = jax.lax.broadcasted_iota(jnp.int32, (K, U), 1)
+        iv2 = jax.lax.broadcasted_iota(jnp.int32, (K, n_sub * V), 1)
         rows = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
         half1 = rows >= _CHUNK               # second half ⇔ pair's odd group
         rin = rows % _CHUNK
         npad = su_ref.shape[0]
+        if PAIRED:
+            g0, g1 = 2 * a, 2 * a + 1
+        else:
+            g0 = g1 = a
 
         def sel(a0, a1):
             """Per-row scalar select: group g0's value on the first chunk
@@ -106,60 +111,74 @@ def _hist_kernel_factory(SB: int, PAIRED: bool):
             return jnp.where(half1, a1, a0)
 
         for j in range(SB):
-            s = sb * SB + j + 1          # steps are 1-based (gvom.py:1127)
-            sf = s * 1.0
-            if PAIRED:
-                g0, g1 = 2 * a, 2 * a + 1
-            else:
-                g0 = g1 = a
-            nch = jnp.maximum(meta_ref[g0, s, 1], meta_ref[g1, s, 1])
-            any_work = (meta_ref[g0, s, 3] > 0) | (meta_ref[g1, s, 3] > 0)
             out_ref[0, j] = jnp.zeros((U, n_sub * V), jnp.float32)
 
-            @pl.when(any_work)
-            def _(s=s, sf=sf, nch=nch, j=j, g0=g0, g1=g1):
-                ab0, ab1 = meta_ref[g0, s, 0], meta_ref[g1, s, 0]
-                nc = sel(meta_ref[g0, s, 1], meta_ref[g1, s, 1])
-                first = sel(meta_ref[g0, s, 2], meta_ref[g1, s, 2])
-                count = sel(meta_ref[g0, s, 3], meta_ref[g1, s, 3])
-                dom_ok = sel(meta_ref[g0, s, 4], meta_ref[g1, s, 4])
-                start_u = sel(startuv_ref[g0, 0], startuv_ref[g1, 0])
-                start_v = sel(startuv_ref[g0, 1], startuv_ref[g1, 1])
-                voff = sel(jnp.int32(0), jnp.int32(V))
+        # active-step table: aj[t] = local step of t-th active step, ac[t] =
+        # chunks before it. Built once; steps with no live rays are skipped
+        # entirely, and active steps have ≥1 chunk so the in-loop pointer
+        # advances by at most one per iteration.
+        t_cnt = jnp.int32(0)
+        cum = jnp.int32(0)
+        for j in range(SB):
+            s = sb * SB + j + 1          # steps are 1-based (gvom.py:1127)
+            nch = jnp.maximum(meta_ref[g0, s, 1], meta_ref[g1, s, 1])
+            w = jnp.where((meta_ref[g0, s, 3] > 0) | (meta_ref[g1, s, 3] > 0), nch, 0)
+            # branchless: inactive steps overwrite the CURRENT (unfilled)
+            # slot, which the next active step then writes correctly —
+            # t_cnt only advances on active steps
+            aj_ref[t_cnt] = j
+            ac_ref[t_cnt] = cum
+            t_cnt = t_cnt + (w > 0).astype(jnp.int32)
+            cum = cum + w
+        ac_ref[t_cnt] = cum                  # sentinel: never advance past end
 
-                def body(c, acc):
-                    # clamp: the pair iterates to max(nchunks) — the smaller
-                    # group's base must stay in bounds (lanes masked dead)
-                    base0 = pl.multiple_of(jnp.minimum(ab0 + c * _CHUNK, npad - _CHUNK), _CHUNK)
-                    if PAIRED:
-                        base1 = pl.multiple_of(jnp.minimum(ab1 + c * _CHUNK, npad - _CHUNK), _CHUNK)
-                        su = jnp.concatenate([su_ref[pl.ds(base0, _CHUNK)], su_ref[pl.ds(base1, _CHUNK)]])
-                        sv = jnp.concatenate([sv_ref[pl.ds(base0, _CHUNK)], sv_ref[pl.ds(base1, _CHUNK)]])
-                        gi = jnp.where(half1, base1, base0) + rin
-                    else:
-                        su = su_ref[pl.ds(base0, _CHUNK)]
-                        sv = sv_ref[pl.ds(base0, _CHUNK)]
-                        gi = base0 + rin
-                    u = jnp.floor(start_u + sf * su).astype(jnp.int32)
-                    v = jnp.floor(start_v + sf * sv).astype(jnp.int32)
-                    live = (c < nc) & (dom_ok > 0) & (gi >= first) & (gi < first + count)
-                    ok = live & (u >= 0) & (u < U) & (v >= 0) & (v < V)
-                    uu = jnp.where(ok, u, -1)
-                    vv = jnp.where(ok, v + voff, -1)
-                    ohu = (uu[:, None] == iu).astype(jnp.int8)
-                    ohv = (vv[:, None] == iv2).astype(jnp.int8)
-                    return acc + jax.lax.dot_general(
-                        ohu, ohv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
-                    )
+        def body(i, t):
+            t = t + (i >= ac_ref[t + 1]).astype(jnp.int32)
+            j = aj_ref[t]
+            c = i - ac_ref[t]
+            s = sb * SB + j + 1
+            sf = s.astype(jnp.float32)
+            ab0, ab1 = meta_ref[g0, s, 0], meta_ref[g1, s, 0]
+            nc = sel(meta_ref[g0, s, 1], meta_ref[g1, s, 1])
+            first = sel(meta_ref[g0, s, 2], meta_ref[g1, s, 2])
+            count = sel(meta_ref[g0, s, 3], meta_ref[g1, s, 3])
+            dom_ok = sel(meta_ref[g0, s, 4], meta_ref[g1, s, 4])
+            start_u = sel(startuv_ref[g0, 0], startuv_ref[g1, 0])
+            start_v = sel(startuv_ref[g0, 1], startuv_ref[g1, 1])
+            voff = sel(jnp.int32(0), jnp.int32(V))
+            # clamp: the pair iterates to max(nchunks) — the smaller group's
+            # base must stay in bounds (lanes masked dead)
+            base0 = pl.multiple_of(jnp.minimum(ab0 + c * _CHUNK, npad - _CHUNK), _CHUNK)
+            if PAIRED:
+                base1 = pl.multiple_of(jnp.minimum(ab1 + c * _CHUNK, npad - _CHUNK), _CHUNK)
+                su = jnp.concatenate([su_ref[pl.ds(base0, _CHUNK)], su_ref[pl.ds(base1, _CHUNK)]])
+                sv = jnp.concatenate([sv_ref[pl.ds(base0, _CHUNK)], sv_ref[pl.ds(base1, _CHUNK)]])
+                gi = jnp.where(half1, base1, base0) + rin
+            else:
+                su = su_ref[pl.ds(base0, _CHUNK)]
+                sv = sv_ref[pl.ds(base0, _CHUNK)]
+                gi = base0 + rin
+            u = jnp.floor(start_u + sf * su).astype(jnp.int32)
+            v = jnp.floor(start_v + sf * sv).astype(jnp.int32)
+            live = (c < nc) & (dom_ok > 0) & (gi >= first) & (gi < first + count)
+            okv = live & (v >= 0) & (v < V)
+            vv = jnp.where(okv, v + voff, -1)
+            ohv = (vv[:, None] == iv2).astype(jnp.int8)
 
-                acc = jax.lax.fori_loop(0, nch, body, jnp.zeros((U, n_sub * V), jnp.int32))
-                out_ref[0, j] = acc.astype(jnp.float32)
+            uu = jnp.where(okv & (u >= 0) & (u < U), u, -1)
+            ohu = (uu[:, None] == iuf).astype(jnp.int8)
+            p = jax.lax.dot_general(
+                ohu, ohv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            out_ref[0, j] = out_ref[0, j] + p.astype(jnp.float32)
+            return t
+
+        jax.lax.fori_loop(0, cum, body, jnp.int32(0))
 
     return kernel
 
 
-def _run_hist(meta, startuv, ouv, su, sv, G, S, U, V, interpret=False, paired=True):
-    SB = _SBLOCK
+def _run_hist(meta, startuv, su, sv, G, S, U, V, interpret=False, paired=True, SB=_SBLOCK_XY):
     S_pad = ((S + SB - 1) // SB) * SB
     if meta.shape[1] < S_pad + 1:
         meta = jnp.pad(meta, ((0, 0), (0, S_pad + 1 - meta.shape[1]), (0, 0)))
@@ -171,7 +190,6 @@ def _run_hist(meta, startuv, ouv, su, sv, G, S, U, V, interpret=False, paired=Tr
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -179,8 +197,13 @@ def _run_hist(meta, startuv, ouv, su, sv, G, S, U, V, interpret=False, paired=Tr
             (1, SB, U, n_sub * V), lambda a, sb: (a, sb, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_inst, S_pad, U, n_sub * V), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((SB + 2,), jnp.int32),
+            pltpu.SMEM((SB + 2,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(meta, startuv, ouv, su, sv)
+    )(meta, startuv, su, sv)
     if paired:
         # [a, s, U, 2V] → [2a+half, s, U, V]
         out = out.reshape(n_inst, S_pad, U, 2, V).transpose(0, 3, 1, 2, 4).reshape(G, S_pad, U, V)
@@ -271,9 +294,9 @@ def ray_pass_counts_matmul(
     dom_size = jnp.array([X, X, Y, Y, Z, Z])
     rows = jnp.floor(start_rel[dom_axis][:, None] + dom_sign[:, None] * s_ar[None, :]).astype(jnp.int32)
     rows_ok = (rows >= 0) & (rows < dom_size[:, None])     # [6, S]
-    # torus placement: rows compared in torus indices (hist u/v columns are
-    # already torus via the in-kernel iota remap)
-    rows_t = (rows + origin[dom_axis][:, None]) % dom_size[:, None]
+    # hist u/v columns and these rows are all WINDOW-relative; the placed
+    # grid is torus-rolled once at the end (cheaper than per-column mod
+    # remaps inside the kernel)
 
     startuv = jnp.stack(
         [
@@ -286,16 +309,6 @@ def ray_pass_counts_matmul(
         ],
         axis=0,
     )
-    o = origin
-    ouv = jnp.stack(
-        [
-            jnp.stack([o[1], o[2]]), jnp.stack([o[1], o[2]]),
-            jnp.stack([o[0], o[2]]), jnp.stack([o[0], o[2]]),
-            jnp.stack([o[0], o[1]]), jnp.stack([o[0], o[1]]),
-        ],
-        axis=0,
-    ).astype(jnp.int32)
-
     def build_meta(groups):
         m = []
         for g in groups:
@@ -311,38 +324,41 @@ def ray_pass_counts_matmul(
 
     # --- xy-dominant kernel: groups 0..3, hist over (u∈[0,256), v=z) ---
     meta_xy = build_meta([0, 1, 2, 3])
-    hist_xy = _run_hist(meta_xy, startuv[:4], ouv[:4], su_s, sv_s, 4, S, X, Z, interpret, paired=True)
+    hist_xy = _run_hist(meta_xy, startuv[:4], su_s, sv_s, 4, S, X, Z, interpret, paired=True, SB=_SBLOCK_XY)
 
     # --- z-dominant kernel: groups 4..5, hist over (x, y) ---
     meta_z = build_meta([4, 5])
     Sz = min(S, Z + 2)
-    hist_z = _run_hist(meta_z[:, : Sz + 1], startuv[4:], ouv[4:], su_s, sv_s, 2, Sz, X, Y, interpret, paired=False)
+    hist_z = _run_hist(meta_z[:, : Sz + 1], startuv[4:], su_s, sv_s, 2, Sz, X, Y, interpret, paired=False, SB=_SBLOCK_Z)
 
     # --- placement: one-hot matmul over the step axis (exact, no scatter) ---
     out = jnp.zeros((X, Y, Z), jnp.float32)
     # groups 0,1: rows are x cells; hist [S, Y(=256 via U=X? u-axis is y), Z]
     #   u-axis for x-dom is y (size Y) — U was passed as X==Y for xy grids
     for gi, g in enumerate((0, 1)):
-        oh = ((rows_t[g][None, :] == jnp.arange(X)[:, None]) & rows_ok[g][None, :]).astype(jnp.float32)
+        oh = ((rows[g][None, :] == jnp.arange(X)[:, None]) & rows_ok[g][None, :]).astype(jnp.float32)
         h = hist_xy[gi].reshape(S, Y * Z)
         out = out + jax.lax.dot_general(
             oh, h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).reshape(X, Y, Z)
     for gi, g in enumerate((2, 3)):
-        oh = ((rows_t[g][None, :] == jnp.arange(Y)[:, None]) & rows_ok[g][None, :]).astype(jnp.float32)
+        oh = ((rows[g][None, :] == jnp.arange(Y)[:, None]) & rows_ok[g][None, :]).astype(jnp.float32)
         h = hist_xy[2 + gi].reshape(S, X * Z)
         contrib = jax.lax.dot_general(
             oh, h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).reshape(Y, X, Z)
         out = out + contrib.transpose(1, 0, 2)
     for gi, g in enumerate((4, 5)):
-        oh = ((rows_t[g][None, :Sz] == jnp.arange(Z)[:, None]) & rows_ok[g][None, :Sz]).astype(jnp.float32)
+        oh = ((rows[g][None, :Sz] == jnp.arange(Z)[:, None]) & rows_ok[g][None, :Sz]).astype(jnp.float32)
         h = hist_z[gi].reshape(Sz, X * Y)
         contrib = jax.lax.dot_general(
             oh, h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).reshape(Z, X, Y)
         out = out + contrib.transpose(1, 2, 0)
-    return out.astype(jnp.int32)
+    # everything above is window-layout; one 3-axis roll moves it to torus
+    from gvom_tpu.ops import grid as gridops_mod
+
+    return gridops_mod.window_to_torus(out.astype(jnp.int32), origin)
 
 
 # ======================================================================
@@ -375,30 +391,40 @@ _XBLOCK = 2  # x-slices per grid instance (measured best on v5e: the kernel is
              # with a raised vmem limit measured ~6% slower than XB=2)
 
 
+_NPACK = 8  # packed matmul results per x-slice (see _moment_slice)
+
+
 def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, XB: int, Y: int, Z: int):
     def kernel(meta_ref, org_ref, px_ref, py_ref, pz_ref, out_ref):
         xb = pl.program_id(0)
         # torus one-hot targets (built once per instance): column c holds the
         # voxel whose torus index is c; its padded-window coordinate is
-        # ((c − o) mod size) + r. Pad columns (z only) never match.
+        # ((c − o) mod size) + r. The z axis is laid out as TWO factor halves
+        # (columns [0,Z) and [Z,2Z) address the same voxels — the B matrices
+        # pack two z-factors side by side so every matmul runs at N = 2Z with
+        # no dead columns); columns ≥ 2Z never match.
         oy = org_ref[0, 1]
         oz = org_ref[0, 2]
         yio_raw = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, U), 1)
         yio = (yio_raw - oy) % Y + ry
         zio_raw = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, V), 1)
-        zio = jnp.where(zio_raw < Z, (zio_raw - oz) % Z + rz, jnp.int32(1 << 20))
+        zc = zio_raw % Z
+        zio = jnp.where(zio_raw < 2 * Z, (zc - oz) % Z + rz, jnp.int32(1 << 20))
+        fid1 = (zio_raw >= Z) & (zio_raw < 2 * Z)      # second factor half
         for j in range(XB):
-            _moment_slice(cfg, U, V, ry, rz, xb * XB + j, j, meta_ref, px_ref, py_ref, pz_ref, out_ref, yio, zio)
+            _moment_slice(cfg, U, V, ry, rz, x=xb * XB + j, j=j, meta_ref=meta_ref,
+                          px_ref=px_ref, py_ref=py_ref, pz_ref=pz_ref, out_ref=out_ref,
+                          yio=yio, zio=zio, fid1=fid1)
 
     return kernel
 
 
-def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, out_ref, yio, zio):
+def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, out_ref, yio, zio, fid1):
         abase = meta_ref[x, 0]
         nchunks = meta_ref[x, 1]
         first = meta_ref[x, 2]
         count = meta_ref[x, 3]
-        for i in range(11):
+        for i in range(_NPACK):
             out_ref[j, i] = jnp.zeros((U, V), jnp.float32)
 
         @pl.when(count > 0)
@@ -422,12 +448,12 @@ def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, out
                 validf = valid.astype(jnp.float32)
                 dy = py[:, None] - yio.astype(jnp.float32)
                 dz = pz[:, None] - zio.astype(jnp.float32)
+                wzv = (jnp.abs(uz[:, None] - zio) <= rz).astype(jnp.float32)
+                # packed B factors: B1 = [wz | rampz], B2 = [ramp2z | hitz]
+                b1 = jnp.where(fid1, dz * wzv, wzv)
+                b2 = jnp.where(fid1, (uz[:, None] == zio).astype(jnp.float32), dz * dz * wzv)
                 wy = (jnp.abs(uy[:, None] - yio) <= ry).astype(jnp.float32) * validf[:, None]
-                wz = (jnp.abs(uz[:, None] - zio) <= rz).astype(jnp.float32)
-                rampz = dz * wz
-                ramp2z = dz * rampz
                 hxf = ((ux == x) & valid).astype(jnp.float32)
-                hitz = (uz[:, None] == zio).astype(jnp.float32)
 
                 def mm(a, b):
                     return jax.lax.dot_general(
@@ -437,27 +463,24 @@ def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, out
                 # A-side matrices are built immediately before their matmuls so
                 # only ~2 of the [CHUNK, U] f32 temporaries are live at a time
                 # (VMEM budget; see the scoped-vmem OOM note in git history)
-                p_n = mm(wy, wz)
-                p_sz = mm(wy, rampz)
-                p_zz = mm(wy, ramp2z)
+                r0 = mm(wy, b1)                       # n | sz
+                r6 = mm(wy, b2)                       # zz | junk
                 xw = xr[:, None] * wy
-                p_sx = mm(xw, wz)
-                p_xz = mm(xw, rampz)
+                r1 = mm(xw, b1)                       # sx | xz
                 x2w = xr[:, None] * xw
-                p_xx = mm(x2w, wz)
+                r3 = mm(x2w, b1)                      # xx | junk
                 rampy = dy * wy
-                p_sy = mm(rampy, wz)
-                p_yz = mm(rampy, rampz)
+                r2 = mm(rampy, b1)                    # sy | yz
                 xry = xr[:, None] * rampy
-                p_xy = mm(xry, wz)
+                r4 = mm(xry, b1)                      # xy | junk
                 ramp2y = dy * rampy
-                p_yy = mm(ramp2y, wz)
+                r5 = mm(ramp2y, b1)                   # yy | junk
                 hity = (uy[:, None] == yio).astype(jnp.float32) * hxf[:, None]
-                p_hit = mm(hity, hitz)
-                prods = (p_n, p_sx, p_sy, p_sz, p_xx, p_xy, p_xz, p_yy, p_yz, p_zz, p_hit)
+                r7 = mm(hity, b2)                     # junk | hit
+                prods = (r0, r1, r2, r3, r4, r5, r6, r7)
                 return tuple(a + p for a, p in zip(accs, prods))
 
-            init = tuple(jnp.zeros((U, V), jnp.float32) for _ in range(11))
+            init = tuple(jnp.zeros((U, V), jnp.float32) for _ in range(_NPACK))
             accs = jax.lax.fori_loop(0, nchunks, body, init)
             for i, a in enumerate(accs):
                 out_ref[j, i, :, :] = a
@@ -479,7 +502,7 @@ def fused_point_moments(
     rx, ry, rz = moment_pad(cfg)
     Xp = X + 2 * rx
     U = Y                                   # torus y columns (exact)
-    V = ((Z + 127) // 128) * 128            # torus z columns + dead padding
+    V = ((2 * Z + 127) // 128) * 128        # TWO packed z-factor halves + padding
     res = gridops.resolution_vector(cfg)
     pn = points / res - origin.astype(jnp.float32)
     pad_off = jnp.array([rx, ry, rz], jnp.float32)
@@ -535,18 +558,24 @@ def fused_point_moments(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((XB, 11, U, V), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Xp_pad, 11, U, V), jnp.float32),
+        out_specs=pl.BlockSpec((XB, _NPACK, U, V), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Xp_pad, _NPACK, U, V), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(meta, org, px_s, py_s, pz_s)
 
-    # rows: crop x padding (window layout); y/z columns are already torus
-    core = out[rx : rx + X, :, :, :Z]
-    nbox = core[:, 0]
-    s1 = jnp.stack([core[:, 1], core[:, 2], core[:, 3]], axis=0)  # Σ(p−v), target-local
-    s2 = jnp.stack([core[:, 4 + i] for i in range(6)], axis=0)
-    hit = core[:, 10].astype(jnp.int32)
+    # rows: crop x padding (window layout); y/z columns are already torus.
+    # Packed layout per x-slice (two z-factor halves per matmul):
+    #   r0 = wy·[wz|rampz]      → n  | sz      r4 = xry·[wz|·]    → xy | ·
+    #   r1 = xw·[wz|rampz]      → sx | xz      r5 = ramp2y·[wz|·] → yy | ·
+    #   r2 = rampy·[wz|rampz]   → sy | yz      r6 = wy·[ramp2z|·] → zz | ·
+    #   r3 = x2w·[wz|·]         → xx | ·       r7 = hity·[·|hitz] → ·  | hit
+    lo = out[rx : rx + X, :, :, :Z]
+    hi = out[rx : rx + X, :, :, Z : 2 * Z]
+    nbox = lo[:, 0]
+    s1 = jnp.stack([lo[:, 1], lo[:, 2], hi[:, 0]], axis=0)  # Σ(p−v), target-local
+    s2 = jnp.stack([lo[:, 3], lo[:, 4], hi[:, 1], lo[:, 5], hi[:, 2], lo[:, 6]], axis=0)
+    hit = hi[:, 7].astype(jnp.int32)
     # raw sums need no normalization — move the x axis into torus layout
     # (leading-axis roll: contiguous) and return
     rollx = origin[0] % X
