@@ -79,8 +79,7 @@ def ingest_scan(
     if use_fused:
         from gvom_tpu.ops import pallas_kernels
 
-        hit, n, mean, m2 = pallas_kernels.fused_point_moments(cfg, p, keep, origin)
-        min_height = binning.scatter_min_height(cfg, p, keep, origin)
+        hit, min_height, n, mean, m2 = pallas_kernels.fused_point_moments(cfg, p, keep, origin)
     else:
         bins = binning.bin_points(cfg, p, keep, origin)
         hit, min_height = bins.hit, bins.min_height            # torus-placed

@@ -376,9 +376,15 @@ def ray_pass_counts_matmul(
 #   n: w·w   sx: (x_rel·w)·w   sy: r_y·w   sz: w·r_z
 #   xx: (x²·w)·w  xy: (x·r_y)·w  xz: (x·w)·r_z  yy: r²_y·w  yz: r_y·r_z
 #   zz: w·r²_z    hit: exact one-hots gated on the slice
+#   minh: exact one-hots × (first-of-voxel-run flag · sub-voxel z)
 #
-# Points sorted by (padded) x voxel; the grid dimension is the x slice; a
-# slice's contributing points (|u_x − x| ≤ r_x) are a contiguous sorted range.
+# Points sorted by full linear voxel id with sub-voxel z as the secondary
+# sort key, so each voxel run's FIRST point carries the voxel's minimum z
+# (the reference's atomic.min at gvom.py:1329). Gating the minh channel on
+# a first-of-run flag makes its "sum" have exactly one nonzero term per
+# voxel = the min — an extra matmul instead of a 5 ms scatter-min. Id-major
+# sorting preserves x-slice contiguity, so the worklist layout is unchanged:
+# a slice's contributing points (|u_x − x| ≤ r_x) are a contiguous range.
 # f32 one-hot/ramp factors with f32 MXU accumulation keep the reference's
 # numerics (coords are O(1) in the target-local frame — the same conditioning
 # trick the reference uses at gvom.py:1205-1207).
@@ -391,11 +397,11 @@ _XBLOCK = 2  # x-slices per grid instance (measured best on v5e: the kernel is
              # with a raised vmem limit measured ~6% slower than XB=2)
 
 
-_NPACK = 8  # packed matmul results per x-slice (see _moment_slice)
+_NPACK = 9  # packed matmul results per x-slice (see _moment_slice)
 
 
 def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, XB: int, Y: int, Z: int):
-    def kernel(meta_ref, org_ref, px_ref, py_ref, pz_ref, out_ref):
+    def kernel(meta_ref, org_ref, px_ref, py_ref, pz_ref, mh_ref, out_ref):
         xb = pl.program_id(0)
         # torus one-hot targets (built once per instance): column c holds the
         # voxel whose torus index is c; its padded-window coordinate is
@@ -413,13 +419,13 @@ def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, XB
         fid1 = (zio_raw >= Z) & (zio_raw < 2 * Z)      # second factor half
         for j in range(XB):
             _moment_slice(cfg, U, V, ry, rz, x=xb * XB + j, j=j, meta_ref=meta_ref,
-                          px_ref=px_ref, py_ref=py_ref, pz_ref=pz_ref, out_ref=out_ref,
-                          yio=yio, zio=zio, fid1=fid1)
+                          px_ref=px_ref, py_ref=py_ref, pz_ref=pz_ref, mh_ref=mh_ref,
+                          out_ref=out_ref, yio=yio, zio=zio, fid1=fid1)
 
     return kernel
 
 
-def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, out_ref, yio, zio, fid1):
+def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, mh_ref, out_ref, yio, zio, fid1):
         abase = meta_ref[x, 0]
         nchunks = meta_ref[x, 1]
         first = meta_ref[x, 2]
@@ -477,7 +483,9 @@ def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, out
                 r5 = mm(ramp2y, b1)                   # yy | junk
                 hity = (uy[:, None] == yio).astype(jnp.float32) * hxf[:, None]
                 r7 = mm(hity, b2)                     # junk | hit
-                prods = (r0, r1, r2, r3, r4, r5, r6, r7)
+                mh = mh_ref[pl.ds(base, _PCHUNK)]     # first-of-run flag · fz
+                r8 = mm(hity * mh[:, None], b2)       # junk | min-height sum
+                prods = (r0, r1, r2, r3, r4, r5, r6, r7, r8)
                 return tuple(a + p for a, p in zip(accs, prods))
 
             init = tuple(jnp.zeros((U, V), jnp.float32) for _ in range(_NPACK))
@@ -493,8 +501,9 @@ def fused_point_moments(
     origin: jnp.ndarray,
     interpret: bool = False,
 ):
-    """Returns (hit [X,Y,Z] i32, n, s1, s2) — raw target-voxel-local moment
-    sums, matching binning.bin_points + moments.box_aggregate_moments."""
+    """Returns (hit [X,Y,Z] i32, min_height [X,Y,Z] f32, n, s1, s2) — endpoint
+    counts, per-voxel min sub-voxel z, and raw target-voxel-local moment sums,
+    matching binning.bin_points + moments.box_aggregate_moments."""
     from gvom_tpu.ops import grid as gridops
     from gvom_tpu.ops.binning import moment_pad
 
@@ -507,20 +516,30 @@ def fused_point_moments(
     pn = points / res - origin.astype(jnp.float32)
     pad_off = jnp.array([rx, ry, rz], jnp.float32)
     pp = pn + pad_off[None, :]
+    Yp = Y + 2 * ry
+    Zp = Z + 2 * rz
     ux = jnp.floor(pp[:, 0]).astype(jnp.int32)
+    uy = jnp.floor(pp[:, 1]).astype(jnp.int32)
+    uz = jnp.floor(pp[:, 2]).astype(jnp.int32)
     # points fully outside the padded grid (any axis) are dead
     inb = (
         keep
         & (pp[:, 0] >= 0) & (pp[:, 0] < Xp)
-        & (pp[:, 1] >= 0) & (pp[:, 1] < Y + 2 * ry)
-        & (pp[:, 2] >= 0) & (pp[:, 2] < Z + 2 * rz)
+        & (pp[:, 1] >= 0) & (pp[:, 1] < Yp)
+        & (pp[:, 2] >= 0) & (pp[:, 2] < Zp)
     )
-    key = jnp.where(inb, ux, Xp).astype(jnp.int32)
-    big = jnp.float32(3 * max(Xp, Y + 2 * ry, Z + 2 * rz))
+    vid_dead = Xp * Yp * Zp
+    vid = jnp.where(inb, (ux * Yp + uy) * Zp + uz, vid_dead)
+    big = jnp.float32(3 * max(Xp, Yp, Zp))
     px = jnp.where(inb, pp[:, 0], -big)
     py = jnp.where(inb, pp[:, 1], -big)
     pz = jnp.where(inb, pp[:, 2], -big)
-    key_s, px_s, py_s, pz_s = jax.lax.sort((key, px, py, pz), num_keys=1)
+    # secondary key: sub-voxel z as order-preserving int bits (fz ≥ 0), so
+    # each voxel run's first point carries min(fz) — see kernel header
+    fzbits = jax.lax.bitcast_convert_type(pp[:, 2] - jnp.floor(pp[:, 2]), jnp.int32)
+    vid_s, _, px_s, py_s, pz_s = jax.lax.sort((vid, fzbits, px, py, pz), num_keys=2)
+    first = jnp.concatenate([jnp.ones((1,), bool), vid_s[1:] != vid_s[:-1]])
+    mhval = jnp.where(first & (vid_s < vid_dead), pz_s - jnp.floor(pz_s), 0.0)
 
     n = points.shape[0]
     npad = ((n + _PCHUNK - 1) // _PCHUNK + 1) * _PCHUNK
@@ -528,8 +547,10 @@ def fused_point_moments(
     px_s = jnp.pad(px_s, (0, padn), constant_values=-big)
     py_s = jnp.pad(py_s, (0, padn), constant_values=-big)
     pz_s = jnp.pad(pz_s, (0, padn), constant_values=-big)
+    mhval = jnp.pad(mhval, (0, padn))
 
     # per-x-voxel counts -> cumulative offsets -> per-slice ranges
+    key_s = vid_s // (Yp * Zp)                     # back to x-slice keys
     ohx = (key_s[:, None] == jnp.arange(Xp + 1)[None, :]).astype(jnp.bfloat16)
     cnt = jax.lax.dot_general(
         ohx, jnp.ones((n, 1), jnp.bfloat16), (((0,), (0,)), ((), ())),
@@ -557,12 +578,13 @@ def fused_point_moments(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((XB, _NPACK, U, V), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Xp_pad, _NPACK, U, V), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(meta, org, px_s, py_s, pz_s)
+    )(meta, org, px_s, py_s, pz_s, mhval)
 
     # rows: crop x padding (window layout); y/z columns are already torus.
     # Packed layout per x-slice (two z-factor halves per matmul):
@@ -576,11 +598,13 @@ def fused_point_moments(
     s1 = jnp.stack([lo[:, 1], lo[:, 2], hi[:, 0]], axis=0)  # Σ(p−v), target-local
     s2 = jnp.stack([lo[:, 3], lo[:, 4], hi[:, 1], lo[:, 5], hi[:, 2], lo[:, 6]], axis=0)
     hit = hi[:, 7].astype(jnp.int32)
+    minh = jnp.where(hit > 0, hi[:, 8], 1.0)       # empty voxels: 1.0 (gvom.py:1014-1015)
     # raw sums need no normalization — move the x axis into torus layout
     # (leading-axis roll: contiguous) and return
     rollx = origin[0] % X
     hit = jnp.roll(hit, rollx, axis=0)
+    minh = jnp.roll(minh, rollx, axis=0)
     nbox = jnp.roll(nbox, rollx, axis=0)
     s1 = jnp.roll(s1, rollx, axis=1)
     s2 = jnp.roll(s2, rollx, axis=1)
-    return hit, nbox, s1, s2
+    return hit, minh, nbox, s1, s2
