@@ -179,7 +179,8 @@ class Gvom:
         xs, ys, zs = np.nonzero(occ)
         if len(xs) == 0:
             return np.zeros((0, 8), np.float32)
-        cov = moments.covariance(g.n, g.mean, g.m2)
+        n, s1, s2 = moments.unpack_moments(g.mom, cfg.z_size)
+        cov = moments.covariance(n, s1, s2)
         ev = self._canonical(np.asarray(moments.eigenvalues(cov)), origin)
         hit = self._canonical(np.asarray(g.hit), origin)[xs, ys, zs].astype(np.float32)
         tot = self._canonical(np.asarray(g.hit + g.miss), origin)[xs, ys, zs].astype(np.float32)

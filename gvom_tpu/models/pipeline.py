@@ -79,23 +79,25 @@ def ingest_scan(
     if use_fused:
         from gvom_tpu.ops import pallas_kernels
 
-        hit, min_height, n, mean, m2 = pallas_kernels.fused_point_moments(cfg, p, keep, origin)
+        hit, min_height, mom = pallas_kernels.fused_point_moments(cfg, p, keep, origin)
     else:
         bins = binning.bin_points(cfg, p, keep, origin)
         hit, min_height = bins.hit, bins.min_height            # torus-placed
-        n, mean, m2 = moments.box_aggregate_moments(cfg, bins)  # window layout
+        n, s1, s2 = moments.box_aggregate_moments(cfg, bins)   # window layout
         n = gridops.window_to_torus(n, origin)
-        mean = gridops.window_to_torus(mean, origin)
-        m2 = gridops.window_to_torus(m2, origin)
+        s1 = gridops.window_to_torus(s1, origin)
+        s2 = gridops.window_to_torus(s2, origin)
+        mom = moments.pack_moments(n, s1, s2)
     occ = hit > 0
+    # moments are NOT occupancy-masked here: every consumer (combine's slot
+    # fusion, the sharded psum merge) masks by source occupancy at merge
+    # time, so the mask here would be a redundant 240 MB read+write
     grid = VoxelGrid(
         hit=hit,
         miss=passes,
         evidence=jnp.where(occ, 0, passes),
         min_height=min_height,
-        n=jnp.where(occ, n, 0.0),
-        mean=jnp.where(occ[None], mean, 0.0),
-        m2=jnp.where(occ[None], m2, 0.0),
+        mom=mom,
         origin=origin,
     )
     scan_ok = jnp.any(occ)
@@ -109,17 +111,20 @@ def ingest_scan(
 def buffer_insert(cfg: GvomConfig, buf: BufferState, grid: VoxelGrid, scan_ok: jnp.ndarray) -> BufferState:
     """Functional ring-buffer write (gvom.py:163-175). No-op when !scan_ok.
 
-    The no-op case is masked *inside* the slot update (select between the new
-    grid and the slot's old content, then unconditionally dynamic-update) —
-    `where(ok, buf.at[cur].set(new), buf)` would keep both buffer versions
-    live and force XLA to copy the whole multi-hundred-MB buffer every step.
+    The write is a single unconditional dynamic-update into slot `cursor`, or
+    into the write-off slot B when the scan is degenerate — never a gather of
+    the old slot or a select against it. Any data dependence on the buffer's
+    prior contents defeats XLA's in-place aliasing of the loop carry and turns
+    the insert into multiple full-buffer (~1 GB) copies — measured 12.6 ms/step
+    vs <1 ms for this form at the reference config.
     """
-    cur = buf.cursor
+    cur = jnp.where(scan_ok, buf.cursor, jnp.int32(cfg.buffer_size))
     new_grids = jax.tree_util.tree_map(
-        lambda stacked, leaf: stacked.at[cur].set(jnp.where(scan_ok, leaf, stacked[cur])),
+        lambda stacked, leaf: jax.lax.dynamic_update_index_in_dim(stacked, leaf, cur, 0),
         buf.grids,
         grid,
     )
+    cur = buf.cursor
     return BufferState(
         grids=new_grids,
         slot_valid=buf.slot_valid.at[cur].set(scan_ok | buf.slot_valid[cur]),
@@ -187,7 +192,7 @@ def combine(
     hit = jnp.zeros(shape, jnp.int32)
     miss = jnp.zeros(shape, jnp.int32)
     min_height = jnp.ones(shape, jnp.float32)
-    mom = (jnp.zeros(shape, jnp.float32), jnp.zeros((3,) + shape, jnp.float32), jnp.zeros((6,) + shape, jnp.float32))
+    mom = jnp.zeros((shape[0], 7, shape[1], moments.packed_lanes(shape[2])), jnp.float32)
 
     def merge_data(acc, src: VoxelGrid, src_sel):
         h, ms, mh, mo = acc
@@ -195,28 +200,23 @@ def combine(
         h = h + jnp.where(m, src.hit, 0)
         ms = ms + jnp.where(m, src.miss, 0)
         mh = jnp.where(m, jnp.minimum(mh, src.min_height), mh)
-        src_mom = (
-            jnp.where(m, src.n, 0.0),
-            jnp.where(m[None], src.mean, 0.0),
-            jnp.where(m[None], src.m2, 0.0),
-        )
-        mo = moments.raw_merge(mo, src_mom)  # raw voxel-local sums: plain add
+        # raw voxel-local sums: a plain masked add, directly in packed layout
+        mpk = moments.packed_voxel_mask(m, cfg.z_size)
+        mo = mo + jnp.where(mpk[:, None], src.mom, 0.0)
         return h, ms, mh, mo
 
     acc = (hit, miss, min_height, mom)
     for a, sv in aligned:
         acc = merge_data(acc, a, (a.hit > 0) & sv & occ)
     acc = merge_data(acc, old, old_occ & occ)
-    hit, miss, min_height, (n, mean, m2) = acc
+    hit, miss, min_height, mom = acc
 
     new_grid = VoxelGrid(
         hit=hit,
         miss=miss,
         evidence=evidence,
         min_height=min_height,
-        n=n,
-        mean=mean,
-        m2=m2,
+        mom=mom,
         origin=origin,
     )
     new_world = WorldState(grid=new_grid, valid=jnp.asarray(True))

@@ -22,7 +22,6 @@ __all__ = [
     "voxel_indices",
     "in_bounds",
     "shift_align",
-    "shift_align_grid",
     "rel_coords",
     "overlap_mask",
     "align_to",
@@ -113,20 +112,21 @@ def overlap_mask(cfg: GvomConfig, o_target: jnp.ndarray, o_source: jnp.ndarray) 
 
 
 def align_to(cfg: GvomConfig, grid, new_origin: jnp.ndarray):
-    """Re-origin a torus grid: pure masks + a scalar mean adjustment — no data
-    movement (the torus replacement for shift_align_grid)."""
+    """Re-origin a torus grid: pure masks — no data movement.
+
+    Raw voxel-local moment sums are frame-invariant, so the packed moment
+    array is masked in place (lane-packed mask) like every other channel."""
+    from gvom_tpu.ops.moments import packed_voxel_mask
     from gvom_tpu.types import VoxelGrid
 
     mask = overlap_mask(cfg, new_origin, grid.origin)
+    mpk = packed_voxel_mask(mask, cfg.z_size)
     return VoxelGrid(
         hit=jnp.where(mask, grid.hit, 0),
         miss=jnp.where(mask, grid.miss, 0),
         evidence=jnp.where(mask, grid.evidence, 0),
         min_height=jnp.where(mask, grid.min_height, 1.0),
-        n=jnp.where(mask, grid.n, 0.0),
-        # raw voxel-local moment sums are frame-invariant: masks only
-        mean=jnp.where(mask[None], grid.mean, 0.0),
-        m2=jnp.where(mask[None], grid.m2, 0.0),
+        mom=jnp.where(mpk[:, None], grid.mom, 0.0),
         origin=new_origin,
     )
 
@@ -150,21 +150,3 @@ def torus_to_window(arr: jnp.ndarray, origin: jnp.ndarray, grid_ndim: int = 3) -
     return arr
 
 
-def shift_align_grid(grid, d: jnp.ndarray):
-    """Align a VoxelGrid's arrays to a frame offset by d = dst_origin − src_origin.
-
-    Moment sums are voxel-local (frame-invariant) — a pure data shift.
-    Returns a new VoxelGrid whose origin equals src.origin + d.
-    """
-    from gvom_tpu.types import VoxelGrid
-
-    return VoxelGrid(
-        hit=shift_align(grid.hit, d, 0),
-        miss=shift_align(grid.miss, d, 0),
-        evidence=shift_align(grid.evidence, d, 0),
-        min_height=shift_align(grid.min_height, d, 1.0),
-        n=shift_align(grid.n, d, 0.0),
-        mean=shift_align(grid.mean, d, 0.0),
-        m2=shift_align(grid.m2, d, 0.0),
-        origin=grid.origin + d,
-    )

@@ -397,7 +397,9 @@ _XBLOCK = 2  # x-slices per grid instance (measured best on v5e: the kernel is
              # with a raised vmem limit measured ~6% slower than XB=2)
 
 
-_NPACK = 9  # packed matmul results per x-slice (see _moment_slice)
+_NPACK = 8  # packed matmul results per x-slice (see _moment_slice):
+            # slots 0..6 are the raw moment channels in the VoxelGrid.mom
+            # layout (ops.moments pack_moments), slot 7 = minh | hit
 
 
 def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, XB: int, Y: int, Z: int):
@@ -455,9 +457,13 @@ def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, mh_
                 dy = py[:, None] - yio.astype(jnp.float32)
                 dz = pz[:, None] - zio.astype(jnp.float32)
                 wzv = (jnp.abs(uz[:, None] - zio) <= rz).astype(jnp.float32)
-                # packed B factors: B1 = [wz | rampz], B2 = [ramp2z | hitz]
+                hitz = (uz[:, None] == zio).astype(jnp.float32)
+                # packed B factors: B1 = [wz | rampz], B2 = [ramp2z | 0],
+                # BM = [hitz | 0], BH = [0 | hitz]
                 b1 = jnp.where(fid1, dz * wzv, wzv)
-                b2 = jnp.where(fid1, (uz[:, None] == zio).astype(jnp.float32), dz * dz * wzv)
+                b2 = jnp.where(fid1, 0.0, dz * dz * wzv)
+                bm = jnp.where(fid1, 0.0, hitz)
+                bh = jnp.where(fid1, hitz, 0.0)
                 wy = (jnp.abs(uy[:, None] - yio) <= ry).astype(jnp.float32) * validf[:, None]
                 hxf = ((ux == x) & valid).astype(jnp.float32)
 
@@ -470,7 +476,7 @@ def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, mh_
                 # only ~2 of the [CHUNK, U] f32 temporaries are live at a time
                 # (VMEM budget; see the scoped-vmem OOM note in git history)
                 r0 = mm(wy, b1)                       # n | sz
-                r6 = mm(wy, b2)                       # zz | junk
+                r6 = mm(wy, b2)                       # zz | 0
                 xw = xr[:, None] * wy
                 r1 = mm(xw, b1)                       # sx | xz
                 x2w = xr[:, None] * xw
@@ -482,10 +488,10 @@ def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, mh_
                 ramp2y = dy * rampy
                 r5 = mm(ramp2y, b1)                   # yy | junk
                 hity = (uy[:, None] == yio).astype(jnp.float32) * hxf[:, None]
-                r7 = mm(hity, b2)                     # junk | hit
                 mh = mh_ref[pl.ds(base, _PCHUNK)]     # first-of-run flag · fz
-                r8 = mm(hity * mh[:, None], b2)       # junk | min-height sum
-                prods = (r0, r1, r2, r3, r4, r5, r6, r7, r8)
+                r7 = mm(hity * mh[:, None], bm) + mm(hity, bh)   # minh | hit
+                # VoxelGrid.mom slot order: n|sz, sx|xz, sy|yz, xx, xy, yy, zz
+                prods = (r0, r1, r2, r3, r4, r5, r6, r7)
                 return tuple(a + p for a, p in zip(accs, prods))
 
             init = tuple(jnp.zeros((U, V), jnp.float32) for _ in range(_NPACK))
@@ -501,17 +507,20 @@ def fused_point_moments(
     origin: jnp.ndarray,
     interpret: bool = False,
 ):
-    """Returns (hit [X,Y,Z] i32, min_height [X,Y,Z] f32, n, s1, s2) — endpoint
-    counts, per-voxel min sub-voxel z, and raw target-voxel-local moment sums,
-    matching binning.bin_points + moments.box_aggregate_moments."""
+    """Returns (hit [X,Y,Z] i32, min_height [X,Y,Z] f32, mom [X,7,Y,Vp] f32) —
+    endpoint counts, per-voxel min sub-voxel z, and raw target-voxel-local
+    moment sums in the packed VoxelGrid.mom layout (ops.moments), matching
+    binning.bin_points + moments.box_aggregate_moments + pack_moments."""
     from gvom_tpu.ops import grid as gridops
     from gvom_tpu.ops.binning import moment_pad
 
     X, Y, Z = cfg.grid_shape
     rx, ry, rz = moment_pad(cfg)
     Xp = X + 2 * rx
+    from gvom_tpu.ops.moments import packed_lanes
+
     U = Y                                   # torus y columns (exact)
-    V = ((2 * Z + 127) // 128) * 128        # TWO packed z-factor halves + padding
+    V = packed_lanes(Z)                     # TWO packed z-factor halves + padding
     res = gridops.resolution_vector(cfg)
     pn = points / res - origin.astype(jnp.float32)
     pad_off = jnp.array([rx, ry, rz], jnp.float32)
@@ -587,24 +596,17 @@ def fused_point_moments(
     )(meta, org, px_s, py_s, pz_s, mhval)
 
     # rows: crop x padding (window layout); y/z columns are already torus.
-    # Packed layout per x-slice (two z-factor halves per matmul):
-    #   r0 = wy·[wz|rampz]      → n  | sz      r4 = xry·[wz|·]    → xy | ·
-    #   r1 = xw·[wz|rampz]      → sx | xz      r5 = ramp2y·[wz|·] → yy | ·
-    #   r2 = rampy·[wz|rampz]   → sy | yz      r6 = wy·[ramp2z|·] → zz | ·
-    #   r3 = x2w·[wz|·]         → xx | ·       r7 = hity·[·|hitz] → ·  | hit
-    lo = out[rx : rx + X, :, :, :Z]
-    hi = out[rx : rx + X, :, :, Z : 2 * Z]
-    nbox = lo[:, 0]
-    s1 = jnp.stack([lo[:, 1], lo[:, 2], hi[:, 0]], axis=0)  # Σ(p−v), target-local
-    s2 = jnp.stack([lo[:, 3], lo[:, 4], hi[:, 1], lo[:, 5], hi[:, 2], lo[:, 6]], axis=0)
-    hit = hi[:, 7].astype(jnp.int32)
-    minh = jnp.where(hit > 0, hi[:, 8], 1.0)       # empty voxels: 1.0 (gvom.py:1014-1015)
+    # Slots 0..6 ARE the packed VoxelGrid.mom layout — no lane-half splitting
+    # (that repacking measured ~5 ms/step); only slot 7 (minh | hit) is split,
+    # since the occupancy mask and height map need plain [X,Y,Z] channels.
+    mom = out[rx : rx + X, :7]
+    rM = out[rx : rx + X, 7]
+    hit = rM[..., Z : 2 * Z].astype(jnp.int32)
+    minh = jnp.where(hit > 0, rM[..., :Z], 1.0)    # empty voxels: 1.0 (gvom.py:1014-1015)
     # raw sums need no normalization — move the x axis into torus layout
     # (leading-axis roll: contiguous) and return
     rollx = origin[0] % X
     hit = jnp.roll(hit, rollx, axis=0)
     minh = jnp.roll(minh, rollx, axis=0)
-    nbox = jnp.roll(nbox, rollx, axis=0)
-    s1 = jnp.roll(s1, rollx, axis=1)
-    s2 = jnp.roll(s2, rollx, axis=1)
-    return hit, minh, nbox, s1, s2
+    mom = jnp.roll(mom, rollx, axis=0)
+    return hit, minh, mom

@@ -46,9 +46,7 @@ def world_pspecs() -> WorldState:
         miss=P(None, SPACE_AXIS, None),
         evidence=P(None, SPACE_AXIS, None),
         min_height=P(None, SPACE_AXIS, None),
-        n=P(None, SPACE_AXIS, None),
-        mean=P(None, None, SPACE_AXIS, None),
-        m2=P(None, None, SPACE_AXIS, None),
+        mom=P(None, None, SPACE_AXIS, None),   # [X, 7, Y, Vp]: y is dim 2
         origin=P(),
     )
     return WorldState(grid=g, valid=P())
@@ -63,9 +61,7 @@ def _merge_scan_grids(a: VoxelGrid, b: VoxelGrid) -> VoxelGrid:
         miss=a.miss + b.miss,
         evidence=a.evidence + b.evidence,
         min_height=jnp.minimum(a.min_height, b.min_height),
-        n=a.n + b.n,
-        mean=a.mean + b.mean,
-        m2=a.m2 + b.m2,
+        mom=a.mom + b.mom,
         origin=a.origin,
     )
 
@@ -106,9 +102,7 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
             miss=jax.lax.psum(local.miss, DATA_AXIS),
             evidence=jax.lax.psum(local.evidence, DATA_AXIS),
             min_height=minh,
-            n=jax.lax.psum(local.n, DATA_AXIS),
-            mean=jax.lax.psum(local.mean, DATA_AXIS),
-            m2=jax.lax.psum(local.m2, DATA_AXIS),
+            mom=jax.lax.psum(local.mom, DATA_AXIS),
             origin=origin,
         )
 
@@ -131,22 +125,13 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
             contrib.evidence,
         )
         msel = old_occ & occ2
-        n, mean, m2 = moments.raw_merge(
-            (contrib.n, contrib.mean, contrib.m2),
-            (
-                jnp.where(msel, old.n, 0.0),
-                jnp.where(msel[None], old.mean, 0.0),
-                jnp.where(msel[None], old.m2, 0.0),
-            ),
-        )
+        mpk = moments.packed_voxel_mask(msel, cfg.z_size)
         merged = VoxelGrid(
             hit=contrib.hit + jnp.where(msel, old.hit, 0),
             miss=contrib.miss + jnp.where(msel, old.miss, 0),
             evidence=evidence,
             min_height=jnp.where(msel, jnp.minimum(contrib.min_height, old.min_height), contrib.min_height),
-            n=n,
-            mean=mean,
-            m2=m2,
+            mom=contrib.mom + jnp.where(mpk[:, None], old.mom, 0.0),
             origin=origin,
         )
 

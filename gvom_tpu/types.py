@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gvom_tpu.config import GvomConfig
+from gvom_tpu.ops.moments import packed_lanes
 
 __all__ = [
     "VoxelGrid",
@@ -59,9 +60,11 @@ class VoxelGrid(NamedTuple):
                              #   voxel is unoccupied (reference index == -evidence-1, gvom.py:962-997).
                              #   Distinct from `miss`: once occupied, misses feed totals, not evidence.
     min_height: jnp.ndarray  # [X, Y, Z] float32 — sub-voxel z of lowest point, init 1.0 (gvom.py:1014)
-    n: jnp.ndarray           # [X, Y, Z] float32 — neighborhood point count (metrics[9])
-    mean: jnp.ndarray        # [3, X, Y, Z] float32 — S1: raw voxel-local first-moment sums
-    m2: jnp.ndarray          # [6, X, Y, Z] float32 — R2: raw voxel-local second-moment sums
+    mom: jnp.ndarray         # [X, 7, Y, Vp] float32 — the ten raw voxel-local moment sums
+                             #   (n, S1, R2 — reference metrics[0:10], gvom.py:1170-1299) in the
+                             #   packed two-channels-per-lane-half layout of ops.moments
+                             #   (pack_moments/unpack_moments); all hot-path ops on it are
+                             #   elementwise, the split happens only at cold read points
     origin: jnp.ndarray      # [3] int32 — grid origin in voxel units
 
     @property
@@ -89,7 +92,10 @@ class BufferState(NamedTuple):
     scan, whose origin becomes the combined-map origin (gvom.py:184).
     """
 
-    grids: VoxelGrid         # each leaf has leading dim [B, ...]
+    grids: VoxelGrid         # each leaf has leading dim [B+1, ...]; slot B is a
+                             # write-off slot for degenerate scans (never read) —
+                             # it keeps the hot-path insert an unconditional
+                             # dynamic-update with no old-slot gather/select
     slot_valid: jnp.ndarray  # [B] bool
     cursor: jnp.ndarray      # [] int32
     last_slot: jnp.ndarray   # [] int32
@@ -125,9 +131,7 @@ def empty_voxel_grid(cfg: GvomConfig) -> VoxelGrid:
         miss=jnp.zeros((x, y, z), jnp.int32),
         evidence=jnp.zeros((x, y, z), jnp.int32),
         min_height=jnp.ones((x, y, z), jnp.float32),
-        n=jnp.zeros((x, y, z), jnp.float32),
-        mean=jnp.zeros((3, x, y, z), jnp.float32),
-        m2=jnp.zeros((6, x, y, z), jnp.float32),
+        mom=jnp.zeros((x, 7, y, packed_lanes(z)), jnp.float32),
         origin=jnp.zeros((3,), jnp.int32),
     )
 
@@ -143,7 +147,7 @@ def _stack(grid: VoxelGrid, b: int) -> VoxelGrid:
 def empty_buffer_state(cfg: GvomConfig) -> BufferState:
     b = cfg.buffer_size
     return BufferState(
-        grids=_stack(empty_voxel_grid(cfg), b),
+        grids=_stack(empty_voxel_grid(cfg), b + 1),
         slot_valid=jnp.zeros((b,), bool),
         cursor=jnp.asarray(0, jnp.int32),
         last_slot=jnp.asarray(0, jnp.int32),

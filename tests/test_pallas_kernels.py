@@ -52,9 +52,10 @@ def test_fused_moments_matches_scatter_path(scene):
     cfg, pw, keep, e, origin = scene
     bins = jax.jit(lambda: binning.bin_points(cfg, pw, keep, origin))()
     n0, s1_0, s2_0 = jax.jit(lambda: moments.box_aggregate_moments(cfg, bins))()
-    hit, mh1, n1, s1_1, s2_1 = jax.jit(
+    hit, mh1, mom = jax.jit(
         lambda: fused_point_moments(cfg, pw, keep, origin, interpret=True)
     )()
+    n1, s1_1, s2_1 = moments.unpack_moments(mom, cfg.z_size)
     # bins.hit is torus; box-aggregate outputs are window layout
     np.testing.assert_array_equal(np.asarray(hit), np.asarray(bins.hit))
     np.testing.assert_allclose(np.asarray(mh1), np.asarray(bins.min_height), atol=1e-6)
@@ -87,6 +88,7 @@ def test_fused_moments_border_points(small_cfg):
     k = jnp.asarray(keep)
     bins = jax.jit(lambda: binning.bin_points(cfg, p, k, origin))()
     n0, _, _ = jax.jit(lambda: moments.box_aggregate_moments(cfg, bins))()
-    _, _, n1, _, _ = jax.jit(lambda: fused_point_moments(cfg, p, k, origin, interpret=True))()
+    _, _, mom = jax.jit(lambda: fused_point_moments(cfg, p, k, origin, interpret=True))()
+    n1, _, _ = moments.unpack_moments(mom, cfg.z_size)
     assert float(n0[0, 0, 0]) == 2.0  # both points reach voxel (0,0,0)
     assert float(canonical(n1, origin)[0, 0, 0]) == 2.0

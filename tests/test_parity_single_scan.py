@@ -57,13 +57,15 @@ def test_min_height(pair):
 def test_moment_count(pair):
     cfg, sm, grid = pair
     occ = sm.hit > 0
-    np.testing.assert_allclose(canonical(grid.n, sm.origin)[occ], sm.n[occ], rtol=1e-6)
+    n, _, _ = moments.unpack_moments(grid.mom, cfg.z_size)
+    np.testing.assert_allclose(canonical(n, sm.origin)[occ], sm.n[occ], rtol=1e-6)
 
 
 def test_covariance(pair):
     cfg, sm, grid = pair
     occ = sm.hit > 0
-    cov_engine = canonical(moments.covariance(grid.n, grid.mean, grid.m2), sm.origin)
+    n, s1, s2 = moments.unpack_moments(grid.mom, cfg.z_size)
+    cov_engine = canonical(moments.covariance(n, s1, s2), sm.origin)
     cov_oracle = np.moveaxis(sm.cov, -1, 0)
     np.testing.assert_allclose(cov_engine[:, occ], cov_oracle[:, occ], atol=2e-4)
 
@@ -72,6 +74,7 @@ def test_local_mean(pair):
     cfg, sm, grid = pair
     occ = sm.hit > 0
     # engine stores raw voxel-local sums; normalize to the oracle's mean
-    eng_local = canonical(moments.mean_local(grid.n, grid.mean), sm.origin)[:, occ]
+    n, s1, _ = moments.unpack_moments(grid.mom, cfg.z_size)
+    eng_local = canonical(moments.mean_local(n, s1), sm.origin)[:, occ]
     ora_local = np.moveaxis(sm.mean, -1, 0)[:, occ]
     np.testing.assert_allclose(eng_local, ora_local, atol=1e-4)
