@@ -37,7 +37,7 @@ from gvom_tpu.ops import raycast as raycast_mod
 
 __all__ = ["use_fast_path", "ray_pass_counts_matmul"]
 
-_CHUNK = 2048  # rays per inner matmul; K-dim of the one-hot matmul
+_CHUNK = 1024  # rays per inner matmul; K-dim of the one-hot matmul
 
 
 def use_fast_path() -> bool:
