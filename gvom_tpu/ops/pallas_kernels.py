@@ -55,7 +55,7 @@ _SBLOCK_Z = 22   # instance AND per separate step-body (measured on v5e), so
                  # a few MB (vmem_limit_bytes raised above the 16 MB default).
 
 
-def _hist_kernel_factory(SB: int, PAIRED: bool):
+def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int):
     def kernel(meta_ref, startuv_ref, su_ref, sv_ref, out_ref, aj_ref, ac_ref):
         """One (group-pair, step-block) instance.
 
@@ -88,11 +88,17 @@ def _hist_kernel_factory(SB: int, PAIRED: bool):
         """
         a = pl.program_id(0)
         sb = pl.program_id(1)
-        U = out_ref.shape[2]
+        # UO: one-hot/hist column count. When UO < U_GRID (the windowed
+        # near-step tier), columns are u mod UO — injective because at step s
+        # the non-dominant coordinate u = floor(start_u + s·su) with |su| ≤ 1
+        # spans at most 2s+1 ≤ UO−2 cells; the caller untiles with a
+        # window mask. Halves the matmul M and the ohu build for the
+        # near steps that carry ~85% of the live chunks.
+        UO = out_ref.shape[2]
         n_sub = 2 if PAIRED else 1
         V = out_ref.shape[3] // n_sub
         K = n_sub * _CHUNK
-        iuf = jax.lax.broadcasted_iota(jnp.int32, (K, U), 1)
+        iuf = jax.lax.broadcasted_iota(jnp.int32, (K, UO), 1)
         iv2 = jax.lax.broadcasted_iota(jnp.int32, (K, n_sub * V), 1)
         rows = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
         half1 = rows >= _CHUNK               # second half ⇔ pair's odd group
@@ -111,7 +117,7 @@ def _hist_kernel_factory(SB: int, PAIRED: bool):
             return jnp.where(half1, a1, a0)
 
         for j in range(SB):
-            out_ref[0, j] = jnp.zeros((U, n_sub * V), jnp.float32)
+            out_ref[0, j] = jnp.zeros((UO, n_sub * V), jnp.float32)
 
         # active-step table: aj[t] = local step of t-th active step, ac[t] =
         # chunks before it. Built once; steps with no live rays are skipped
@@ -120,7 +126,7 @@ def _hist_kernel_factory(SB: int, PAIRED: bool):
         t_cnt = jnp.int32(0)
         cum = jnp.int32(0)
         for j in range(SB):
-            s = sb * SB + j + 1          # steps are 1-based (gvom.py:1127)
+            s = S_OFF + sb * SB + j + 1  # steps are 1-based (gvom.py:1127)
             nch = jnp.maximum(meta_ref[g0, s, 1], meta_ref[g1, s, 1])
             w = jnp.where((meta_ref[g0, s, 3] > 0) | (meta_ref[g1, s, 3] > 0), nch, 0)
             # branchless: inactive steps overwrite the CURRENT (unfilled)
@@ -136,7 +142,7 @@ def _hist_kernel_factory(SB: int, PAIRED: bool):
             t = t + (i >= ac_ref[t + 1]).astype(jnp.int32)
             j = aj_ref[t]
             c = i - ac_ref[t]
-            s = sb * SB + j + 1
+            s = S_OFF + sb * SB + j + 1
             sf = s.astype(jnp.float32)
             ab0, ab1 = meta_ref[g0, s, 0], meta_ref[g1, s, 0]
             nc = sel(meta_ref[g0, s, 1], meta_ref[g1, s, 1])
@@ -165,7 +171,12 @@ def _hist_kernel_factory(SB: int, PAIRED: bool):
             vv = jnp.where(okv, v + voff, -1)
             ohv = (vv[:, None] == iv2).astype(jnp.int8)
 
-            uu = jnp.where(okv & (u >= 0) & (u < U), u, -1)
+            oku = okv & (u >= 0) & (u < U_GRID)
+            if UO < U_GRID:
+                # UO is a power of two; mod compiles to a lane AND
+                uu = jnp.where(oku, jax.lax.rem(u, jnp.int32(UO)), -1)
+            else:
+                uu = jnp.where(oku, u, -1)
             ohu = (uu[:, None] == iuf).astype(jnp.int8)
             p = jax.lax.dot_general(
                 ohu, ohv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -178,14 +189,19 @@ def _hist_kernel_factory(SB: int, PAIRED: bool):
     return kernel
 
 
-def _run_hist(meta, startuv, su, sv, G, S, U, V, interpret=False, paired=True, SB=_SBLOCK_XY):
+def _run_hist(meta, startuv, su, sv, G, S, U, V, interpret=False, paired=True,
+              SB=_SBLOCK_XY, u_mod=None, s_off=0):
+    """Histograms for steps s_off+1 .. s_off+S (meta is indexed by absolute
+    step). u_mod, when set, is the mod-UO windowed column count — valid only
+    for steps with 2s+1 ≤ u_mod − 2 (caller's responsibility)."""
+    UO = u_mod or U
     S_pad = ((S + SB - 1) // SB) * SB
-    if meta.shape[1] < S_pad + 1:
-        meta = jnp.pad(meta, ((0, 0), (0, S_pad + 1 - meta.shape[1]), (0, 0)))
+    if meta.shape[1] < s_off + S_pad + 1:
+        meta = jnp.pad(meta, ((0, 0), (0, s_off + S_pad + 1 - meta.shape[1]), (0, 0)))
     n_sub = 2 if paired else 1
     n_inst = G // n_sub
     out = pl.pallas_call(
-        _hist_kernel_factory(SB, paired),
+        _hist_kernel_factory(SB, paired, U, s_off),
         grid=(n_inst, S_pad // SB),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -194,9 +210,9 @@ def _run_hist(meta, startuv, su, sv, G, S, U, V, interpret=False, paired=True, S
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, SB, U, n_sub * V), lambda a, sb: (a, sb, 0, 0), memory_space=pltpu.VMEM
+            (1, SB, UO, n_sub * V), lambda a, sb: (a, sb, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_inst, S_pad, U, n_sub * V), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_inst, S_pad, UO, n_sub * V), jnp.float32),
         scratch_shapes=[
             pltpu.SMEM((SB + 2,), jnp.int32),
             pltpu.SMEM((SB + 2,), jnp.int32),
@@ -205,8 +221,8 @@ def _run_hist(meta, startuv, su, sv, G, S, U, V, interpret=False, paired=True, S
         interpret=interpret,
     )(meta, startuv, su, sv)
     if paired:
-        # [a, s, U, 2V] → [2a+half, s, U, V]
-        out = out.reshape(n_inst, S_pad, U, 2, V).transpose(0, 3, 1, 2, 4).reshape(G, S_pad, U, V)
+        # [a, s, UO, 2V] → [2a+half, s, UO, V]
+        out = out.reshape(n_inst, S_pad, UO, 2, V).transpose(0, 3, 1, 2, 4).reshape(G, S_pad, UO, V)
     return out[:, :S]
 
 
@@ -323,8 +339,33 @@ def ray_pass_counts_matmul(
         return jnp.concatenate([jnp.zeros((len(groups), 1, 5), jnp.int32), meta], axis=1)
 
     # --- xy-dominant kernel: groups 0..3, hist over (u∈[0,256), v=z) ---
+    # Split into a windowed near tier (mod-128 u columns: at step s the u
+    # coordinate spans 2s+1 ≤ 127 cells, so mod-128 is injective — halves the
+    # matmul M and the ohu build for ~85% of live chunks) and a full-width far
+    # tier. The near hists are untiled by replication + a per-(group, step)
+    # window mask (pure elementwise — the mod-u trick costs no extra matmul).
     meta_xy = build_meta([0, 1, 2, 3])
-    hist_xy = _run_hist(meta_xy, startuv[:4], su_s, sv_s, 4, S, X, Z, interpret, paired=True, SB=_SBLOCK_XY)
+    W = 128
+    S_near = min(S, (W - 1) // 2)
+    if X > W and X % W == 0 and S_near >= 31:
+        hist_n = _run_hist(meta_xy, startuv[:4], su_s, sv_s, 4, S_near, X, Z,
+                           interpret, paired=True, SB=21, u_mod=W)
+        tiled = jnp.concatenate([hist_n] * (X // W), axis=2)       # [4, S_near, X, Z]
+        ys = jnp.arange(X)
+        s_n = jnp.arange(1, S_near + 1)
+        lo = jnp.floor(startuv[:4, 0]).astype(jnp.int32)[:, None] - s_n[None, :]
+        in_win = (ys[None, None, :] >= lo[:, :, None]) & (
+            ys[None, None, :] <= (lo + 2 * s_n[None, :])[:, :, None]
+        )
+        hist_near = tiled * in_win[..., None].astype(jnp.float32)
+        if S > S_near:
+            hist_far = _run_hist(meta_xy, startuv[:4], su_s, sv_s, 4, S - S_near, X, Z,
+                                 interpret, paired=True, SB=_SBLOCK_XY, s_off=S_near)
+            hist_xy = jnp.concatenate([hist_near, hist_far], axis=1)
+        else:
+            hist_xy = hist_near
+    else:
+        hist_xy = _run_hist(meta_xy, startuv[:4], su_s, sv_s, 4, S, X, Z, interpret, paired=True, SB=_SBLOCK_XY)
 
     # --- z-dominant kernel: groups 4..5, hist over (x, y) ---
     meta_z = build_meta([4, 5])
