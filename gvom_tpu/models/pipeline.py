@@ -187,6 +187,9 @@ def combine(
     occ = occ | revive
     old_ev = jnp.where(world.valid, old.evidence, 0)
     evidence = jnp.where(~old_occ & (old_ev > 0) & ~occ, evidence + old_ev, evidence)
+    # occupied-wins (gvom.py:947-950 overwrites negative evidence on allocate):
+    # a later slot occupying a cell discards evidence earlier slots accumulated
+    evidence = jnp.where(occ, 0, evidence)
 
     # --- phase B: data fusion where source voxel occupied & target occupied ---
     hit = jnp.zeros(shape, jnp.int32)
