@@ -98,12 +98,17 @@ def rel_coords(cfg: GvomConfig, origin: jnp.ndarray):
     return tuple(out)
 
 
-def overlap_mask(cfg: GvomConfig, o_target: jnp.ndarray, o_source: jnp.ndarray) -> jnp.ndarray:
+def overlap_mask(cfg: GvomConfig, o_target: jnp.ndarray, o_source: jnp.ndarray, coords=None) -> jnp.ndarray:
     """[X,Y,Z] bool: array cells where source's stored world voxel equals the
-    target window's world voxel (the two windows' overlap, in torus indices)."""
+    target window's world voxel (the two windows' overlap, in torus indices).
+
+    `coords` optionally gives the global torus indices covered along each axis
+    (3-tuple of int arrays; default the full 0..size-1 range) — a spatially
+    sharded caller passes its slab's global indices so the mask stays pure
+    iota arithmetic on the shard (parallel/sharding.py)."""
     masks = []
     for ax, size in enumerate(cfg.grid_shape):
-        i = jnp.arange(size, dtype=jnp.int32)
+        i = coords[ax] if coords is not None else jnp.arange(size, dtype=jnp.int32)
         rel_t = (i - o_target[ax]) % size
         d = o_target[ax] - o_source[ax]
         ok = (rel_t >= -jnp.minimum(d, 0)) & (rel_t < size - jnp.maximum(d, 0))
@@ -111,15 +116,16 @@ def overlap_mask(cfg: GvomConfig, o_target: jnp.ndarray, o_source: jnp.ndarray) 
     return masks[0][:, None, None] & masks[1][None, :, None] & masks[2][None, None, :]
 
 
-def align_to(cfg: GvomConfig, grid, new_origin: jnp.ndarray):
+def align_to(cfg: GvomConfig, grid, new_origin: jnp.ndarray, coords=None):
     """Re-origin a torus grid: pure masks — no data movement.
 
     Raw voxel-local moment sums are frame-invariant, so the packed moment
-    array is masked in place (lane-packed mask) like every other channel."""
+    array is masked in place (lane-packed mask) like every other channel.
+    `coords` as in overlap_mask (sharded grids)."""
     from gvom_tpu.ops.moments import packed_voxel_mask
     from gvom_tpu.types import VoxelGrid
 
-    mask = overlap_mask(cfg, new_origin, grid.origin)
+    mask = overlap_mask(cfg, new_origin, grid.origin, coords)
     mpk = packed_voxel_mask(mask, cfg.z_size)
     return VoxelGrid(
         hit=jnp.where(mask, grid.hit, 0),

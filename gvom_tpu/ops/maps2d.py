@@ -69,16 +69,22 @@ def height_map(
     min_height: jnp.ndarray,
     origin: jnp.ndarray,
     ego_position: jnp.ndarray,
+    y_coords: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """First-occupied-voxel height per column with the ego-disk pre-seed
     (gvom.py:523-540). Inputs are torus-layout; the output 2D map is also
-    torus-layout in (x, y) — canonicalize with torus_to_window for stencils."""
+    torus-layout in (x, y) — canonicalize with torus_to_window for stencils.
+
+    `y_coords` optionally gives the global torus y index of each input column
+    (a y-sharded caller passes its slab's indices; default 0..X-1)."""
     X = cfg.xy_size
     any_occ, zrel, sel = _first_in_column(cfg, occ, origin)
     mh = jnp.sum(jnp.where(sel, min_height, 0.0), axis=2)
     col_h = (mh + zrel.astype(jnp.float32) + origin[2].astype(jnp.float32)) * cfg.z_resolution
+    if y_coords is None:
+        y_coords = jnp.arange(X, dtype=jnp.int32)
     relx = ((jnp.arange(X, dtype=jnp.int32) - origin[0]) % X).astype(jnp.float32)
-    rely = ((jnp.arange(X, dtype=jnp.int32) - origin[1]) % X).astype(jnp.float32)
+    rely = ((y_coords.astype(jnp.int32) - origin[1]) % X).astype(jnp.float32)
     gx = (origin[0].astype(jnp.float32) + relx)[:, None] * cfg.xy_resolution - ego_position[0]
     gy = (origin[1].astype(jnp.float32) + rely)[None, :] * cfg.xy_resolution - ego_position[1]
     disk = gx * gx + gy * gy <= jnp.float32(cfg.robot_radius) ** 2

@@ -1,16 +1,24 @@
 """shard_map pipelines: batched scan replay over a (data, space) mesh.
 
-BASELINE configs #4/#5: a batch of (scan, ego) pairs per step, data-sharded;
-the world grid y-axis sharded over `space`. Per step each device rasterizes
-its scan shard into a common map frame (per-voxel accumulators are
-associative — SURVEY.md §2.3), contributions are psum'd over `data`, the
-world state (held as y-shards) is re-origined and merged, and the 2D map
-products are derived.
+BASELINE configs #4/#5: a batch of (scan, ego) pairs per step, sharded over
+BOTH mesh axes (every device rasterizes its own scan subset — ingest is the
+dominant FLOP cost and parallelizes over the whole mesh); the world grid's
+y axis is sharded over `space`.
 
-Round-1 collective layout (honest about its costs): psum over data, world
-re-origin via all_gather over space + local shift + re-slice (the y-shift
-crosses shard boundaries; a ppermute halo pipeline replaces this in the
-optimization roadmap — the stencil radii are bounded, see ops/maps2d).
+Collective layout (per step, amortized over the whole scan batch):
+
+  * contribution reduce: `psum_scatter` over `space` (full-grid traffic
+    (nsp−1)/nsp, result is this device's y-slab summed over its space row)
+    then `psum` over `data` on slab-sized arrays — the world state is never
+    all-gathered in 3D.
+  * world merge + decay veto: shard-local elementwise masks; the torus
+    re-origin needs only each slab's GLOBAL torus y indices (iota + offset,
+    ops/grid.overlap_mask(coords=...)) — no data movement, no halo.
+  * 2D products: column reductions (height / inferred / positive obstacle)
+    run on the y-slab; only the tiny [X, X] 2D maps are all-gathered over
+    `space` for the bounded-stencil ops (slope 3×3, guess-height search —
+    SURVEY.md §7 "halo width vs the 15-cell search": gathering the 2D map is
+    strictly cheaper than 3D halos at reference sizes).
 
 Batched semantics vs the reference: all scans of a batch rasterize into one
 common frame and fuse associatively (order-free), rather than the reference's
@@ -37,6 +45,8 @@ from gvom_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
 from gvom_tpu.types import MapProducts, VoxelGrid, WorldState
 
 __all__ = ["world_pspecs", "batched_step", "make_batched_step"]
+
+_ALL_AXES = (DATA_AXIS, SPACE_AXIS)
 
 
 def world_pspecs() -> WorldState:
@@ -68,17 +78,28 @@ def _merge_scan_grids(a: VoxelGrid, b: VoxelGrid) -> VoxelGrid:
 
 def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
     """Build the jitted sharded step:
-    (world, scans [S,N,3], valid [S,N], egos [S,3]) → (world, products)."""
+    (world, scans [S,N,3], valid [S,N], egos [S,3]) → (world, products).
 
-    wspec = world_pspecs()
+    S must divide evenly over mesh.size; the grid y size over mesh.shape
+    ['space']."""
+
+    nsp = int(mesh.shape[SPACE_AXIS])
+    Y = cfg.xy_size
+    if Y % nsp != 0:
+        raise ValueError(f"xy_size {Y} not divisible by space axis {nsp}")
+    Ys = Y // nsp
+    yslab = {"hit": 1, "miss": 1, "evidence": 1, "min_height": 1, "mom": 2}
 
     def device_fn(world: WorldState, scans, valid, egos):
-        # ---- common frame: origin of the batch's last scan (globally) ----
-        egos_all = jax.lax.all_gather(egos, DATA_AXIS, tiled=True)     # [S_total, 3]
+        # ---- common frame: origin of the batch's globally-last scan ----
+        egos_all = jax.lax.all_gather(egos, _ALL_AXES, tiled=True)     # [S_total, 3]
         ego_last = egos_all[-1]
         origin = gridops.compute_origin(cfg, ego_last)
+        sidx = jax.lax.axis_index(SPACE_AXIS)
+        ys0 = sidx * Ys
+        y_coords = ys0 + jnp.arange(Ys, dtype=jnp.int32)               # global torus y
 
-        # ---- data-parallel ingest into the common frame ----
+        # ---- ingest this device's scan shard into the common frame ----
         def ingest_one(carry, xs):
             pts, vmask, ego = xs
             g, ok = pipeline.ingest_scan(
@@ -94,25 +115,31 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
         init = empty_voxel_grid(cfg)._replace(origin=origin)
         local, oks = jax.lax.scan(ingest_one, init, (scans, valid, egos))
 
-        # ---- reduce scan contributions across the data axis ----
-        # raw voxel-local moment sums psum exactly (ops/moments)
-        minh = -jax.lax.pmax(-local.min_height, DATA_AXIS)   # min via -max(-x)
+        # ---- reduce contributions into this device's y-slab ----
+        # sums: scatter-reduce over space (slab-distributes the y axis),
+        # then psum slab-sized arrays over data. min: allreduce the single
+        # f32 channel (no min-scatter collective), then slice the slab.
+        def rs(x, dim):
+            x = jax.lax.psum_scatter(x, SPACE_AXIS, scatter_dimension=dim, tiled=True)
+            return jax.lax.psum(x, DATA_AXIS)
+
+        minh_full = -jax.lax.pmax(-local.min_height, _ALL_AXES)
         contrib = VoxelGrid(
-            hit=jax.lax.psum(local.hit, DATA_AXIS),
-            miss=jax.lax.psum(local.miss, DATA_AXIS),
-            evidence=jax.lax.psum(local.evidence, DATA_AXIS),
-            min_height=minh,
-            mom=jax.lax.psum(local.mom, DATA_AXIS),
+            hit=rs(local.hit, yslab["hit"]),
+            miss=rs(local.miss, yslab["miss"]),
+            evidence=rs(local.evidence, yslab["evidence"]),
+            min_height=jax.lax.dynamic_slice_in_dim(minh_full, ys0, Ys, axis=1),
+            mom=rs(local.mom, yslab["mom"]),
             origin=origin,
         )
 
-        # ---- merge with the world (y-sharded): gather, shift, merge, slice ----
-        wg_local = world.grid
-        wg_full = jax.tree_util.tree_map(
-            lambda l, spec: _gather_space(l, spec), wg_local, wspec.grid
+        # ---- merge with the world slab: shard-local, masks only ----
+        coords = (
+            jnp.arange(cfg.xy_size, dtype=jnp.int32),
+            y_coords,
+            jnp.arange(cfg.z_size, dtype=jnp.int32),
         )
-        wg_full = wg_full._replace(origin=wg_local.origin)
-        old = gridops.align_to(cfg, wg_full, origin)
+        old = gridops.align_to(cfg, world.grid, origin, coords=coords)
         old_valid = world.valid
 
         occ = contrib.hit > 0
@@ -124,6 +151,7 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
             contrib.evidence + old.evidence,
             contrib.evidence,
         )
+        evidence = jnp.where(occ2, 0, evidence)                # occupied-wins
         msel = old_occ & occ2
         mpk = moments.packed_voxel_mask(msel, cfg.z_size)
         merged = VoxelGrid(
@@ -135,18 +163,26 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
             origin=origin,
         )
 
-        # ---- 2D products (replicated compute on the full grid, v1) ----
-        hm_t = maps2d.height_map(cfg, occ2, merged.min_height, origin, ego_last)
-        ihm_t = maps2d.inferred_height_map(cfg, occ2, evidence, origin)
+        # ---- 2D products: column reductions on the slab, stencils on the
+        # gathered (tiny) 2D maps ----
+        hm_slab = maps2d.height_map(cfg, occ2, merged.min_height, origin, ego_last, y_coords=y_coords)
+        ihm_slab = maps2d.inferred_height_map(cfg, occ2, evidence, origin)
+        hm_t = jax.lax.all_gather(hm_slab, SPACE_AXIS, axis=1, tiled=True)
+        ihm_t = jax.lax.all_gather(ihm_slab, SPACE_AXIS, axis=1, tiled=True)
         hm = gridops.torus_to_window(hm_t, origin, grid_ndim=2)
         ihm = gridops.torus_to_window(ihm_t, origin, grid_ndim=2)
         sx, sy, rough = maps2d.slope_and_roughness(cfg, hm)
         ghd = maps2d.guess_height_delta(cfg, hm, ihm)
         sx_t = gridops.window_to_torus(sx, origin, grid_ndim=2)
         sy_t = gridops.window_to_torus(sy, origin, grid_ndim=2)
-        pos_t = maps2d.positive_obstacle_map(
-            cfg, occ2, merged.hit, merged.hit + merged.miss, hm_t, sx_t, sy_t, origin
+        pos_slab = maps2d.positive_obstacle_map(
+            cfg, occ2, merged.hit, merged.hit + merged.miss,
+            jax.lax.dynamic_slice_in_dim(hm_t, ys0, Ys, axis=1),
+            jax.lax.dynamic_slice_in_dim(sx_t, ys0, Ys, axis=1),
+            jax.lax.dynamic_slice_in_dim(sy_t, ys0, Ys, axis=1),
+            origin,
         )
+        pos_t = jax.lax.all_gather(pos_slab, SPACE_AXIS, axis=1, tiled=True)
         pos = gridops.torus_to_window(pos_t, origin, grid_ndim=2)
         neg = maps2d.negative_obstacle_map(cfg, ghd)
         vis = maps2d.visibility_map(hm)
@@ -156,36 +192,17 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
             negative_obstacle=neg, visibility=vis,
         )
 
-        # ---- keep only this device's y-shard of the new world ----
-        new_local = jax.tree_util.tree_map(
-            lambda l, spec: _slice_space(l, spec), merged, wspec.grid
-        )
-        new_world = WorldState(grid=new_local._replace(origin=origin), valid=jnp.asarray(True))
+        new_world = WorldState(grid=merged, valid=jnp.asarray(True))
         return new_world, products
-
-    def _gather_space(leaf, spec):
-        if spec == P():
-            return leaf
-        axis = list(spec).index(SPACE_AXIS)
-        return jax.lax.all_gather(leaf, SPACE_AXIS, axis=axis, tiled=True)
-
-    def _slice_space(leaf, spec):
-        if spec == P():
-            return leaf
-        axis = list(spec).index(SPACE_AXIS)
-        nsp = jax.lax.psum(1, SPACE_AXIS)
-        idx = jax.lax.axis_index(SPACE_AXIS)
-        size = leaf.shape[axis] // nsp
-        return jax.lax.dynamic_slice_in_dim(leaf, idx * size, size, axis=axis)
 
     sharded = shard_map(
         device_fn,
         mesh=mesh,
         in_specs=(
             world_pspecs(),
-            P(DATA_AXIS, None, None),
-            P(DATA_AXIS, None),
-            P(DATA_AXIS, None),
+            P(_ALL_AXES, None, None),
+            P(_ALL_AXES, None),
+            P(_ALL_AXES, None),
         ),
         out_specs=(world_pspecs(), P()),
         check_vma=False,
