@@ -195,7 +195,7 @@ def combine(
     hit = jnp.zeros(shape, jnp.int32)
     miss = jnp.zeros(shape, jnp.int32)
     min_height = jnp.ones(shape, jnp.float32)
-    mom = jnp.zeros((shape[0], 7, shape[1], moments.packed_lanes(shape[2])), jnp.float32)
+    mom = jnp.zeros((shape[0], moments.N_SLOTS, shape[1], moments.packed_lanes(shape[2])), jnp.float32)
 
     def merge_data(acc, src: VoxelGrid, src_sel):
         h, ms, mh, mo = acc

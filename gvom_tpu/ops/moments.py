@@ -56,25 +56,26 @@ Moments = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # n [..], s1 [3,..], s2 
 # Packed storage layout
 #
 # The hot path (ops.pallas_kernels.fused_point_moments) emits the ten raw
-# moment channels as SEVEN [Y, 2Z-in-lanes] matmul results per x-slice —
-# two channels share one result's lane halves. Splitting lane halves into
-# separate [X,Y,Z] channel arrays is pure vreg repacking (~5 ms/step at the
-# reference config), and no hot consumer needs the split: buffer insert,
-# slot fusion, decay merge, and device psum are all elementwise adds/masks.
-# So VoxelGrid stores moments in the packed layout [X, 7, Y, Vp] and the
-# split happens only at cold read points (debug exporters, parity tests).
+# moment channels as FIVE [Y, 2Z-in-lanes] matmul results per x-slice — two
+# channels per result's lane halves, zero junk (a slot's halves may come from
+# two matmuls whose B factors occupy disjoint column halves). Splitting lane
+# halves into separate [X,Y,Z] channel arrays is pure vreg repacking
+# (~5 ms/step at the reference config), and no hot consumer needs the split:
+# buffer insert, slot fusion, decay merge, and device psum are all
+# elementwise adds/masks. So VoxelGrid stores moments in the packed layout
+# [X, 5, Y, Vp] and the split happens only at cold read points (debug
+# exporters, parity tests).
 #
 #   slot  lanes [0:Z]  lanes [Z:2Z]
 #   0     n            sz
 #   1     sx           xz
 #   2     sy           yz
-#   3     xx           (junk)
-#   4     xy           (junk)
-#   5     yy           (junk)
-#   6     zz           (junk)
+#   3     xx           xy
+#   4     yy           zz
 
-_SLOT_LO = ("n", "sx", "sy", "xx", "xy", "yy", "zz")
-_SLOT_HI = ("sz", "xz", "yz", None, None, None, None)
+_SLOT_LO = ("n", "sx", "sy", "xx", "yy")
+_SLOT_HI = ("sz", "xz", "yz", "xy", "zz")
+N_SLOTS = 5
 
 
 def packed_lanes(z_size: int) -> int:
@@ -83,12 +84,12 @@ def packed_lanes(z_size: int) -> int:
 
 
 def pack_moments(n: jnp.ndarray, s1: jnp.ndarray, s2: jnp.ndarray) -> jnp.ndarray:
-    """(n [X,Y,Z], s1 [3,X,Y,Z], s2 [6,X,Y,Z]) → packed [X, 7, Y, Vp]."""
+    """(n [X,Y,Z], s1 [3,X,Y,Z], s2 [6,X,Y,Z]) → packed [X, 5, Y, Vp]."""
     z = n.shape[-1]
     ch = {"n": n, "sx": s1[0], "sy": s1[1], "sz": s1[2],
           "xx": s2[0], "xy": s2[1], "xz": s2[2], "yy": s2[3], "yz": s2[4], "zz": s2[5]}
     lo = jnp.stack([ch[k] for k in _SLOT_LO], axis=1)
-    hi = jnp.stack([ch[k] if k is not None else jnp.zeros_like(n) for k in _SLOT_HI], axis=1)
+    hi = jnp.stack([ch[k] for k in _SLOT_HI], axis=1)
     pad = packed_lanes(z) - 2 * z
     parts = [lo, hi]
     if pad:
@@ -97,13 +98,14 @@ def pack_moments(n: jnp.ndarray, s1: jnp.ndarray, s2: jnp.ndarray) -> jnp.ndarra
 
 
 def unpack_moments(mom: jnp.ndarray, z_size: int) -> Moments:
-    """Packed [..., X, 7, Y, Vp] → (n, s1 [3,...], s2 [6,...])  [..., X, Y, Z]."""
+    """Packed [..., X, 5, Y, Vp] → (n, s1 [3,...], s2 [6,...])  [..., X, Y, Z]."""
     lo = slice(0, z_size)
     hi = slice(z_size, 2 * z_size)
     get = lambda s, lanes: mom[..., :, s, :, lanes]
     n = get(0, lo)
     s1 = jnp.stack([get(1, lo), get(2, lo), get(0, hi)], axis=0)
-    s2 = jnp.stack([get(3, lo), get(4, lo), get(1, hi), get(5, lo), get(2, hi), get(6, lo)], axis=0)
+    # s2 order (xx, xy, xz, yy, yz, zz)
+    s2 = jnp.stack([get(3, lo), get(3, hi), get(1, hi), get(4, lo), get(2, hi), get(4, hi)], axis=0)
     return n, s1, s2
 
 

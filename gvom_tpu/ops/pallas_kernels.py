@@ -39,6 +39,10 @@ __all__ = ["use_fast_path", "ray_pass_counts_matmul"]
 
 _CHUNK = 1024  # rays per inner matmul; K-dim of the one-hot matmul
 
+_OH_IDX = jnp.int32  # index dtype of the one-hot equality compares (the
+                     # [K, U] iota-vs-coordinate compares are the kernel's
+                     # dominant VPU cost; int16 packs 2/lane)
+
 
 def use_fast_path() -> bool:
     try:
@@ -98,8 +102,8 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int):
         n_sub = 2 if PAIRED else 1
         V = out_ref.shape[3] // n_sub
         K = n_sub * _CHUNK
-        iuf = jax.lax.broadcasted_iota(jnp.int32, (K, UO), 1)
-        iv2 = jax.lax.broadcasted_iota(jnp.int32, (K, n_sub * V), 1)
+        iuf = jax.lax.broadcasted_iota(_OH_IDX, (K, UO), 1)
+        iv2 = jax.lax.broadcasted_iota(_OH_IDX, (K, n_sub * V), 1)
         rows = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
         half1 = rows >= _CHUNK               # second half ⇔ pair's odd group
         rin = rows % _CHUNK
@@ -168,7 +172,7 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int):
             v = jnp.floor(start_v + sf * sv).astype(jnp.int32)
             live = (c < nc) & (dom_ok > 0) & (gi >= first) & (gi < first + count)
             okv = live & (v >= 0) & (v < V)
-            vv = jnp.where(okv, v + voff, -1)
+            vv = jnp.where(okv, v + voff, -1).astype(_OH_IDX)
             ohv = (vv[:, None] == iv2).astype(jnp.int8)
 
             oku = okv & (u >= 0) & (u < U_GRID)
@@ -177,7 +181,7 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int):
                 uu = jnp.where(oku, jax.lax.rem(u, jnp.int32(UO)), -1)
             else:
                 uu = jnp.where(oku, u, -1)
-            ohu = (uu[:, None] == iuf).astype(jnp.int8)
+            ohu = (uu.astype(_OH_IDX)[:, None] == iuf).astype(jnp.int8)
             p = jax.lax.dot_general(
                 ohu, ohv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
             )
@@ -438,9 +442,11 @@ _XBLOCK = 2  # x-slices per grid instance (measured best on v5e: the kernel is
              # with a raised vmem limit measured ~6% slower than XB=2)
 
 
-_NPACK = 8  # packed matmul results per x-slice (see _moment_slice):
-            # slots 0..6 are the raw moment channels in the VoxelGrid.mom
-            # layout (ops.moments pack_moments), slot 7 = minh | hit
+_NPACK = 6  # packed matmul results per x-slice (see _moment_slice):
+            # slots 0..4 are the raw moment channels in the VoxelGrid.mom
+            # layout (ops.moments pack_moments, zero junk halves — a slot's
+            # halves may come from two matmuls with disjoint half-masked B
+            # factors), slot 5 = minh | hit
 
 
 def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, XB: int, Y: int, Z: int):
@@ -499,12 +505,15 @@ def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, mh_
                 dz = pz[:, None] - zio.astype(jnp.float32)
                 wzv = (jnp.abs(uz[:, None] - zio) <= rz).astype(jnp.float32)
                 hitz = (uz[:, None] == zio).astype(jnp.float32)
-                # packed B factors: B1 = [wz | rampz], B2 = [ramp2z | 0],
-                # BM = [hitz | 0], BH = [0 | hitz]
+                # packed B factors (lo half | hi half):
+                #   B1 = [wz | rampz], BLO = [wz | 0], BHI = [0 | wz],
+                #   B2H = [0 | ramp2z], BM = [hitz | 0], BH = [0 | hitz]
                 b1 = jnp.where(fid1, dz * wzv, wzv)
-                b2 = jnp.where(fid1, 0.0, dz * dz * wzv)
+                b_lo = jnp.where(fid1, 0.0, wzv)
+                b_hi = wzv - b_lo
+                b2h = jnp.where(fid1, dz * dz * wzv, 0.0)
                 bm = jnp.where(fid1, 0.0, hitz)
-                bh = jnp.where(fid1, hitz, 0.0)
+                bh = hitz - bm
                 wy = (jnp.abs(uy[:, None] - yio) <= ry).astype(jnp.float32) * validf[:, None]
                 hxf = ((ux == x) & valid).astype(jnp.float32)
 
@@ -517,22 +526,22 @@ def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, mh_
                 # only ~2 of the [CHUNK, U] f32 temporaries are live at a time
                 # (VMEM budget; see the scoped-vmem OOM note in git history)
                 r0 = mm(wy, b1)                       # n | sz
-                r6 = mm(wy, b2)                       # zz | 0
+                r4 = mm(wy, b2h)                      # _ | zz
                 xw = xr[:, None] * wy
                 r1 = mm(xw, b1)                       # sx | xz
                 x2w = xr[:, None] * xw
-                r3 = mm(x2w, b1)                      # xx | junk
+                r3 = mm(x2w, b_lo)                    # xx | _
                 rampy = dy * wy
                 r2 = mm(rampy, b1)                    # sy | yz
                 xry = xr[:, None] * rampy
-                r4 = mm(xry, b1)                      # xy | junk
+                r3 = r3 + mm(xry, b_hi)               # xx | xy
                 ramp2y = dy * rampy
-                r5 = mm(ramp2y, b1)                   # yy | junk
+                r4 = r4 + mm(ramp2y, b_lo)            # yy | zz
                 hity = (uy[:, None] == yio).astype(jnp.float32) * hxf[:, None]
                 mh = mh_ref[pl.ds(base, _PCHUNK)]     # first-of-run flag · fz
-                r7 = mm(hity * mh[:, None], bm) + mm(hity, bh)   # minh | hit
-                # VoxelGrid.mom slot order: n|sz, sx|xz, sy|yz, xx, xy, yy, zz
-                prods = (r0, r1, r2, r3, r4, r5, r6, r7)
+                r5 = mm(hity * mh[:, None], bm) + mm(hity, bh)   # minh | hit
+                # VoxelGrid.mom slot order: n|sz, sx|xz, sy|yz, xx|xy, yy|zz
+                prods = (r0, r1, r2, r3, r4, r5)
                 return tuple(a + p for a, p in zip(accs, prods))
 
             init = tuple(jnp.zeros((U, V), jnp.float32) for _ in range(_NPACK))
@@ -637,11 +646,11 @@ def fused_point_moments(
     )(meta, org, px_s, py_s, pz_s, mhval)
 
     # rows: crop x padding (window layout); y/z columns are already torus.
-    # Slots 0..6 ARE the packed VoxelGrid.mom layout — no lane-half splitting
-    # (that repacking measured ~5 ms/step); only slot 7 (minh | hit) is split,
+    # Slots 0..4 ARE the packed VoxelGrid.mom layout — no lane-half splitting
+    # (that repacking measured ~5 ms/step); only slot 5 (minh | hit) is split,
     # since the occupancy mask and height map need plain [X,Y,Z] channels.
-    mom = out[rx : rx + X, :7]
-    rM = out[rx : rx + X, 7]
+    mom = out[rx : rx + X, :5]
+    rM = out[rx : rx + X, 5]
     hit = rM[..., Z : 2 * Z].astype(jnp.int32)
     minh = jnp.where(hit > 0, rM[..., :Z], 1.0)    # empty voxels: 1.0 (gvom.py:1014-1015)
     # raw sums need no normalization — move the x axis into torus layout

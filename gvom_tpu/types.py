@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gvom_tpu.config import GvomConfig
-from gvom_tpu.ops.moments import packed_lanes
+from gvom_tpu.ops.moments import N_SLOTS, packed_lanes
 
 __all__ = [
     "VoxelGrid",
@@ -131,7 +131,7 @@ def empty_voxel_grid(cfg: GvomConfig) -> VoxelGrid:
         miss=jnp.zeros((x, y, z), jnp.int32),
         evidence=jnp.zeros((x, y, z), jnp.int32),
         min_height=jnp.ones((x, y, z), jnp.float32),
-        mom=jnp.zeros((x, 7, y, packed_lanes(z)), jnp.float32),
+        mom=jnp.zeros((x, N_SLOTS, y, packed_lanes(z)), jnp.float32),
         origin=jnp.zeros((3,), jnp.int32),
     )
 

@@ -219,7 +219,7 @@ def test_moments_additive(prop_cfg):
         return grid
 
     g_all, g_a, g_b = ingest(pts), ingest(pts[:half]), ingest(pts[half:])
-    # compare unpacked channels: packed slots 3-6 carry documented junk lanes
+    # compare unpacked channels (the packed layout also has pad lanes)
     from gvom_tpu.ops import moments
 
     def unpacked(g):
