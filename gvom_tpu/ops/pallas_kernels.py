@@ -461,10 +461,12 @@ def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, XB
         oy = org_ref[0, 1]
         oz = org_ref[0, 2]
         yio_raw = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, U), 1)
-        yio = (yio_raw - oy) % Y + ry
+        yio = ((yio_raw - oy) % Y + ry).astype(_OH_IDX)
         zio_raw = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, V), 1)
         zc = zio_raw % Z
-        zio = jnp.where(zio_raw < 2 * Z, (zc - oz) % Z + rz, jnp.int32(1 << 20))
+        # pad-column sentinel: any value beyond the padded grid works (fits
+        # int16 so the one-hot compares can run at 2 elements/lane)
+        zio = jnp.where(zio_raw < 2 * Z, (zc - oz) % Z + rz, jnp.int32(1 << 14)).astype(_OH_IDX)
         fid1 = (zio_raw >= Z) & (zio_raw < 2 * Z)      # second factor half
         for j in range(XB):
             _moment_slice(cfg, U, V, ry, rz, x=xb * XB + j, j=j, meta_ref=meta_ref,
@@ -495,8 +497,8 @@ def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, mh_
                 valid = (gi >= first) & (gi < first + count)
                 xr = px - xf
                 ux = jnp.floor(px).astype(jnp.int32)
-                uy = jnp.floor(py).astype(jnp.int32)
-                uz = jnp.floor(pz).astype(jnp.int32)
+                uy = jnp.floor(py).astype(_OH_IDX)
+                uz = jnp.floor(pz).astype(_OH_IDX)
 
                 # bool minor-dim inserts are unsupported on TPU vregs; promote
                 # the per-point mask to f32 before broadcasting
@@ -566,6 +568,8 @@ def fused_point_moments(
 
     X, Y, Z = cfg.grid_shape
     rx, ry, rz = moment_pad(cfg)
+    if Z + 2 * rz >= (1 << 14):
+        raise ValueError("z_size too large for the kernel's pad-column sentinel")
     Xp = X + 2 * rx
     from gvom_tpu.ops.moments import packed_lanes
 
