@@ -43,6 +43,11 @@ _OH_IDX = jnp.int32  # index dtype of the one-hot equality compares (the
                      # [K, U] iota-vs-coordinate compares are the kernel's
                      # dominant VPU cost; int16 packs 2/lane)
 
+_OH_VAL = jnp.int8   # value dtype of the raycast one-hot matmul operands
+                     # (0/1 is exact in every candidate dtype; counts
+                     # accumulate exactly in the 24-bit f32 significand —
+                     # K per matmul is far below 2^24)
+
 
 def use_fast_path() -> bool:
     try:
@@ -173,7 +178,7 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int):
             live = (c < nc) & (dom_ok > 0) & (gi >= first) & (gi < first + count)
             okv = live & (v >= 0) & (v < V)
             vv = jnp.where(okv, v + voff, -1).astype(_OH_IDX)
-            ohv = (vv[:, None] == iv2).astype(jnp.int8)
+            ohv = (vv[:, None] == iv2).astype(_OH_VAL)
 
             oku = okv & (u >= 0) & (u < U_GRID)
             if UO < U_GRID:
@@ -181,9 +186,10 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int):
                 uu = jnp.where(oku, jax.lax.rem(u, jnp.int32(UO)), -1)
             else:
                 uu = jnp.where(oku, u, -1)
-            ohu = (uu.astype(_OH_IDX)[:, None] == iuf).astype(jnp.int8)
+            ohu = (uu.astype(_OH_IDX)[:, None] == iuf).astype(_OH_VAL)
+            acc_t = jnp.int32 if _OH_VAL == jnp.int8 else jnp.float32
             p = jax.lax.dot_general(
-                ohu, ohv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+                ohu, ohv, (((0,), (0,)), ((), ())), preferred_element_type=acc_t
             )
             out_ref[0, j] = out_ref[0, j] + p.astype(jnp.float32)
             return t
