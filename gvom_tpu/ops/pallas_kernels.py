@@ -448,6 +448,13 @@ _XBLOCK = 2  # x-slices per grid instance (measured best on v5e: the kernel is
              # with a raised vmem limit measured ~6% slower than XB=2)
 
 
+_MOM_PRECISION = "f32"  # "f32": plain f32 dot_generals (Mosaic multi-pass).
+                        # "split": hi/lo bf16 decomposition per inexact
+                        # operand, dropping the lo*lo term — ~2^-16 relative
+                        # error (far inside the parity tolerances); exact
+                        # one-hot factors stay single-pass. 19 bf16 matmuls
+                        # vs 9 multi-pass f32 ones.
+
 _NPACK = 6  # packed matmul results per x-slice (see _moment_slice):
             # slots 0..4 are the raw moment channels in the VoxelGrid.mom
             # layout (ops.moments pack_moments, zero junk halves — a slot's
@@ -530,24 +537,51 @@ def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, mh_
                         a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
                     )
 
+                if _MOM_PRECISION == "split":
+                    bf = jnp.bfloat16
+
+                    def sp(a):
+                        hi = a.astype(bf)
+                        return hi, (a - hi.astype(jnp.float32)).astype(bf)
+
+                    def mm_ee(a, b):      # both operands exact in bf16
+                        return mm(a.astype(bf), b.astype(bf))
+
+                    def mm_ie(a, b):      # a inexact, b exact (0/1)
+                        ah, al = sp(a)
+                        be = b.astype(bf)
+                        return mm(ah, be) + mm(al, be)
+
+                    def mm_ei(a, b):      # a exact (0/1), b inexact
+                        bh_, bl_ = sp(b)
+                        ae = a.astype(bf)
+                        return mm(ae, bh_) + mm(ae, bl_)
+
+                    def mm_ii(a, b):      # both inexact: drop lo*lo (~2^-16)
+                        ah, al = sp(a)
+                        bh_, bl_ = sp(b)
+                        return mm(ah, bh_) + mm(al, bh_) + mm(ah, bl_)
+                else:
+                    mm_ee = mm_ie = mm_ei = mm_ii = mm
+
                 # A-side matrices are built immediately before their matmuls so
                 # only ~2 of the [CHUNK, U] f32 temporaries are live at a time
                 # (VMEM budget; see the scoped-vmem OOM note in git history)
-                r0 = mm(wy, b1)                       # n | sz
-                r4 = mm(wy, b2h)                      # _ | zz
+                r0 = mm_ei(wy, b1)                    # n | sz
+                r4 = mm_ei(wy, b2h)                   # _ | zz
                 xw = xr[:, None] * wy
-                r1 = mm(xw, b1)                       # sx | xz
+                r1 = mm_ii(xw, b1)                    # sx | xz
                 x2w = xr[:, None] * xw
-                r3 = mm(x2w, b_lo)                    # xx | _
+                r3 = mm_ie(x2w, b_lo)                 # xx | _
                 rampy = dy * wy
-                r2 = mm(rampy, b1)                    # sy | yz
+                r2 = mm_ii(rampy, b1)                 # sy | yz
                 xry = xr[:, None] * rampy
-                r3 = r3 + mm(xry, b_hi)               # xx | xy
+                r3 = r3 + mm_ie(xry, b_hi)            # xx | xy
                 ramp2y = dy * rampy
-                r4 = r4 + mm(ramp2y, b_lo)            # yy | zz
+                r4 = r4 + mm_ie(ramp2y, b_lo)         # yy | zz
                 hity = (uy[:, None] == yio).astype(jnp.float32) * hxf[:, None]
                 mh = mh_ref[pl.ds(base, _PCHUNK)]     # first-of-run flag · fz
-                r5 = mm(hity * mh[:, None], bm) + mm(hity, bh)   # minh | hit
+                r5 = mm_ie(hity * mh[:, None], bm) + mm_ee(hity, bh)   # minh | hit
                 # VoxelGrid.mom slot order: n|sz, sx|xz, sy|yz, xx|xy, yy|zz
                 prods = (r0, r1, r2, r3, r4, r5)
                 return tuple(a + p for a, p in zip(accs, prods))
