@@ -31,6 +31,10 @@ def main():
         return iv
 
     ap.add_argument("--steps", type=positive_int, default=16, help="scans per timed jit call")
+    ap.add_argument("--mode", default="perscan", choices=["perscan", "batched"],
+                    help="perscan: one combine per scan (reference contract); "
+                         "batched: BASELINE config #4 — batch of scans per step, one combine")
+    ap.add_argument("--batch", type=positive_int, default=32, help="scans per step in batched mode")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--xy-size", type=int, default=256)
     ap.add_argument("--z-size", type=int, default=64)
@@ -84,6 +88,10 @@ def main():
 
     raycast_impl = args.raycast
 
+    if args.mode == "batched":
+        _run_batched(args, cfg, scans, masks, egos, n_distinct)
+        return
+
     def step(carry, i):
         buf, world = carry
         j = i % n_distinct
@@ -127,6 +135,73 @@ def main():
         "best_s": round(best, 4),
         "per_step_ms": round(best / args.steps * 1e3, 2),
         "raycast": raycast_impl,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+def _run_batched(args, cfg, scans, masks, egos, n_distinct):
+    """BASELINE config #4 (single host): a batch of B (scan, ego) pairs per
+    step into the sharded world grid, ONE combine + map derivation per step —
+    the replayed-log workload. scans/s = B·steps / wall."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from gvom_tpu.parallel.mesh import make_mesh
+    from gvom_tpu.parallel.sharding import make_batched_step
+    from gvom_tpu.types import empty_world_state
+
+    B = args.batch
+    mesh = make_mesh(jax.devices()[:1])
+    bstep = make_batched_step(cfg, mesh, raycast_impl=args.raycast)
+
+    reps = jnp.arange(B, dtype=jnp.int32) % n_distinct
+    bscans = scans[reps]
+    bmasks = masks[reps]
+
+    def step(carry, i):
+        world, ego0 = carry
+        # egos advance each step so the origin moves (re-origin is exercised)
+        begos = ego0[None, :] + jnp.arange(B, dtype=jnp.float32)[:, None] * jnp.array([0.02, 0.01, 0.0], jnp.float32)
+        world, products = bstep(world, bscans, bmasks, begos)
+        probe = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in products)
+        return (world, ego0 + jnp.array([0.3, 0.15, 0.0], jnp.float32)), probe
+
+    @jax.jit
+    def run(world, ego0):
+        (world, _), probe = jax.lax.scan(step, (world, ego0), jnp.arange(args.steps))
+        return world, probe
+
+    world = empty_world_state(cfg)
+    ego0 = egos[0]
+    t0 = time.time()
+    out = run(world, ego0)
+    jax.block_until_ready(out)
+    compile_and_first = time.time() - t0
+    if args.verbose:
+        print(f"[bench] first call (compile+run): {compile_and_first:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        out = run(world, ego0)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    total_scans = B * args.steps
+    scans_per_s = total_scans / best
+    result = {
+        "metric": "batched_replay_throughput_1chip_OS1-128_256x256x64",
+        "value": round(scans_per_s, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_s / 10.5, 2),
+        "batch": B,
+        "steps": args.steps,
+        "best_s": round(best, 4),
+        "per_scan_ms": round(best / total_scans * 1e3, 3),
+        "raycast": args.raycast,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
