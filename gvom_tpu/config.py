@@ -61,6 +61,11 @@ class GvomConfig:
     hit_count_threshold: int = 10   # occupied-voxel density gate (constant 10 in reference, gvom.py:515)
     decay_miss_limit: int = 10      # staleness veto: old occupied voxel dropped past this many misses (gvom.py:992)
     guess_search_radius: int = 15   # __guess_height outward search bound (gvom.py:581)
+    ray_steps_override: Optional[int] = None  # static DDA step budget; None derives the
+                                              # centered-ego bound (see ray_steps). The batched
+                                              # sharded step raises it to the any-in-grid bound
+                                              # because it rasterizes a whole batch at the LAST
+                                              # scan's origin (parallel/sharding.py).
     ego_relative_min_distance: bool = False  # True = filter on sensor-relative distance instead of the
                                              # reference's world-frame-norm quirk (gvom.py:1064-1068)
 
@@ -82,7 +87,11 @@ class GvomConfig:
         """Static bound on DDA steps. The ego sits within one voxel of grid
         center (origin = floor(ego/res − size/2), gvom.py:123-126), and each
         step advances the dominant axis by exactly one voxel, so a ray exits
-        the grid within max(xy,z)/2 + slack dominant-axis steps."""
+        the grid within max(xy,z)/2 + slack dominant-axis steps. An ego
+        anywhere in the grid needs max(xy,z) + slack — set
+        `ray_steps_override` when rasterizing at a foreign origin."""
+        if self.ray_steps_override is not None:
+            return self.ray_steps_override
         return max(self.xy_size, self.z_size) // 2 + 4
 
     def validate(self) -> "GvomConfig":

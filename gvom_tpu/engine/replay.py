@@ -76,9 +76,10 @@ def batched_replay(
         nonlocal world
         if not batch_pts:
             return
-        # pad the batch to a full data-axis multiple with dead scans
-        data_n = mesh.shape["data"]
-        while len(batch_pts) % data_n != 0:
+        # pad the batch to a full mesh multiple with dead scans (the step
+        # shards the scan axis over BOTH mesh axes)
+        n_real = len(batch_pts)
+        while len(batch_pts) % mesh.size != 0:
             batch_pts.append(np.zeros_like(batch_pts[0]))
             batch_mask.append(np.zeros_like(batch_mask[0]))
             batch_ego.append(batch_ego[-1])
@@ -91,7 +92,7 @@ def batched_replay(
         )
         jax.block_until_ready(world)
         metrics.record("batch_s", time.perf_counter() - t0)
-        metrics.bump("scans", len(batch_pts))
+        metrics.bump("scans", n_real)
         metrics.bump("batches")
         products_list.append(products)
         batch_pts.clear()

@@ -117,10 +117,6 @@ def pointcloud2_to_xyz(
         dt = np.dtype(_DTYPES[f.datatype])
         if spec.is_bigendian:
             dt = dt.newbyteorder(">")
-        col = np.lib.stride_tricks.as_strided(
-            buf[f.offset:].view(np.uint8), shape=(n,), strides=(spec.point_step,)
-        )
-        # as_strided on uint8 then reinterpret per element
         raw = np.ndarray((n,), dtype=dt, buffer=buf, offset=f.offset, strides=(spec.point_step,))
         cols.append(raw.astype(np.float32))
     xyz = np.stack(cols, axis=1)

@@ -73,12 +73,15 @@ def ingest_scan(
 
     use_fused = False
     if binning_impl in ("auto", "fused"):
-        from gvom_tpu.ops import pallas_kernels
-
-        use_fused = binning_impl == "fused" or pallas_kernels.use_fast_path()
+        try:
+            from gvom_tpu.ops import pallas_kernels
+        except ImportError:  # pallas unavailable: 'auto' degrades to XLA
+            if binning_impl == "fused":
+                raise
+            pallas_kernels = None
+        if pallas_kernels is not None:
+            use_fused = binning_impl == "fused" or pallas_kernels.use_fast_path()
     if use_fused:
-        from gvom_tpu.ops import pallas_kernels
-
         hit, min_height, mom = pallas_kernels.fused_point_moments(cfg, p, keep, origin)
     else:
         bins = binning.bin_points(cfg, p, keep, origin)

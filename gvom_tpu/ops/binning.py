@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from gvom_tpu.config import GvomConfig
 from gvom_tpu.ops import grid as gridops
 
-__all__ = ["PointBins", "prepare_points", "bin_points", "moment_pad", "scatter_min_height"]
+__all__ = ["PointBins", "prepare_points", "bin_points", "moment_pad"]
 
 _PAIRS = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
 
@@ -67,28 +67,6 @@ def prepare_points(
         d2 = jnp.sum(p * p, axis=1)
     keep = valid & (d2 >= jnp.float32(cfg.min_distance) ** 2)
     return p, keep
-
-
-def scatter_min_height(
-    cfg: GvomConfig,
-    points: jnp.ndarray,
-    keep: jnp.ndarray,
-    origin: jnp.ndarray,
-) -> jnp.ndarray:
-    """Per-voxel minimum sub-voxel z of endpoint points (gvom.py:1301-1329);
-    a single-channel scatter-min used alongside the fused matmul binning."""
-    shape = cfg.grid_shape
-    res = gridops.resolution_vector(cfg)
-    size = gridops.size_vector(cfg)
-    pn = points / res - origin.astype(jnp.float32)
-    vox = jnp.floor(pn).astype(jnp.int32)
-    inb = keep & gridops.in_bounds(cfg, vox)
-    vt = (vox + origin[None, :]) % size[None, :]          # torus placement
-    vc = jnp.where(inb[:, None], vt, 0)
-    localz = pn[:, 2] - vox[:, 2].astype(jnp.float32)
-    return jnp.ones(shape, jnp.float32).at[vc[:, 0], vc[:, 1], vc[:, 2]].min(
-        jnp.where(inb, localz, 1.0)
-    )
 
 
 def bin_points(

@@ -50,8 +50,10 @@ _OH_VAL = jnp.int8   # value dtype of the raycast one-hot matmul operands
 
 
 def use_fast_path() -> bool:
+    """True only on TPU — these are Mosaic/TPU kernels; any other backend
+    (CPU, GPU) must take the XLA implementations."""
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
 
@@ -234,13 +236,6 @@ def _run_hist(meta, startuv, su, sv, G, S, U, V, interpret=False, paired=True,
         # [a, s, UO, 2V] → [2a+half, s, UO, V]
         out = out.reshape(n_inst, S_pad, UO, 2, V).transpose(0, 3, 1, 2, 4).reshape(G, S_pad, UO, V)
     return out[:, :S]
-
-
-def _axis_uv(dom: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Non-dominant (u, v) axis ids per ray: x-dom→(y,z), y-dom→(x,z), z-dom→(x,y)."""
-    u = jnp.where(dom == 0, 1, 0)
-    v = jnp.where(dom == 2, 1, 2)
-    return u, v
 
 
 def ray_pass_counts_matmul(
@@ -599,7 +594,7 @@ def fused_point_moments(
     origin: jnp.ndarray,
     interpret: bool = False,
 ):
-    """Returns (hit [X,Y,Z] i32, min_height [X,Y,Z] f32, mom [X,7,Y,Vp] f32) —
+    """Returns (hit [X,Y,Z] i32, min_height [X,Y,Z] f32, mom [X,5,Y,Vp] f32) —
     endpoint counts, per-voxel min sub-voxel z, and raw target-voxel-local
     moment sums in the packed VoxelGrid.mom layout (ops.moments), matching
     binning.bin_points + moments.box_aggregate_moments + pack_moments."""

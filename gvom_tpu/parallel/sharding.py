@@ -29,6 +29,7 @@ Negative evidence uses the associative form (misses at unoccupied voxels).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Tuple
 
@@ -56,7 +57,7 @@ def world_pspecs() -> WorldState:
         miss=P(None, SPACE_AXIS, None),
         evidence=P(None, SPACE_AXIS, None),
         min_height=P(None, SPACE_AXIS, None),
-        mom=P(None, None, SPACE_AXIS, None),   # [X, 7, Y, Vp]: y is dim 2
+        mom=P(None, None, SPACE_AXIS, None),   # [X, N_SLOTS=5, Y, Vp]: y is dim 2
         origin=P(),
     )
     return WorldState(grid=g, valid=P())
@@ -88,6 +89,16 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
     if Y % nsp != 0:
         raise ValueError(f"xy_size {Y} not divisible by space axis {nsp}")
     Ys = Y // nsp
+    # All scans of a batch rasterize at the LAST scan's origin, so earlier
+    # egos can sit anywhere in the grid — the centered-ego DDA budget
+    # (config.ray_steps) would silently truncate their long rays. Raise it to
+    # the any-in-grid bound unless the caller pinned one. The raycast
+    # kernels' per-ray kmax already clips at actual grid exit, so the wider
+    # static bound only admits steps that have live rays.
+    if cfg.ray_steps_override is None:
+        cfg = dataclasses.replace(
+            cfg, ray_steps_override=max(cfg.xy_size, cfg.z_size) + 4
+        )
     yslab = {"hit": 1, "miss": 1, "evidence": 1, "min_height": 1, "mom": 2}
 
     def device_fn(world: WorldState, scans, valid, egos):

@@ -60,7 +60,7 @@ class VoxelGrid(NamedTuple):
                              #   voxel is unoccupied (reference index == -evidence-1, gvom.py:962-997).
                              #   Distinct from `miss`: once occupied, misses feed totals, not evidence.
     min_height: jnp.ndarray  # [X, Y, Z] float32 — sub-voxel z of lowest point, init 1.0 (gvom.py:1014)
-    mom: jnp.ndarray         # [X, 7, Y, Vp] float32 — the ten raw voxel-local moment sums
+    mom: jnp.ndarray         # [X, 5, Y, Vp] float32 — the ten raw voxel-local moment sums
                              #   (n, S1, R2 — reference metrics[0:10], gvom.py:1170-1299) in the
                              #   packed two-channels-per-lane-half layout of ops.moments
                              #   (pack_moments/unpack_moments); all hot-path ops on it are

@@ -22,7 +22,13 @@ def annotate(name: str):
 
 @contextlib.contextmanager
 def profile_trace(log_dir: str, host_tracer_level: int = 2):
-    jax.profiler.start_trace(log_dir)
+    try:
+        options = jax.profiler.ProfileOptions()
+        options.host_tracer_level = host_tracer_level
+        kwargs = {"profiler_options": options}
+    except AttributeError:  # older jax: no ProfileOptions
+        kwargs = {}
+    jax.profiler.start_trace(log_dir, **kwargs)
     try:
         yield log_dir
     finally:

@@ -91,6 +91,58 @@ def test_batched_replay_driver(tiny_cfg):
     assert len(products) == 1
 
 
+def test_batched_replay_partial_final_batch(tiny_cfg):
+    """A final partial batch must pad to a full MESH multiple (the scan axis
+    shards over both axes); the scans metric counts only real scans."""
+    from gvom_tpu.engine.replay import batched_replay
+
+    log = synthesize_log(10, channels=8, azimuth_steps=32, max_range=10.0)
+    world, products, metrics = batched_replay(tiny_cfg, log, batch_size=8, raycast_impl="xla")
+    assert bool(world.valid)
+    assert metrics.snapshot()["counters"]["scans"] == 10
+    assert len(products) == 2
+
+
+def test_batched_step_full_ray_budget(tiny_cfg):
+    """Scans rasterized at a foreign origin (the batch frame) keep their full
+    ray length: the centered-ego DDA budget must not truncate them."""
+    import dataclasses
+
+    from gvom_tpu.ops import grid as gridops
+
+    # ego far in -x of the frame centered on ego_far: rays toward +x traverse
+    # ~xy_size voxels, beyond the centered budget (xy/2 + 4)
+    ego_near = np.array([0.3, -0.2, 1.5], np.float32)
+    ego_far = ego_near + np.array([tiny_cfg.xy_size * tiny_cfg.xy_resolution * 0.45, 0.0, 0.0], np.float32)
+    pts = synthetic.simulate_lidar_scan(
+        synthetic.composite_terrain(), ego_near, channels=8, azimuth_steps=32, max_range=14.0, seed=3
+    )
+    pad, mask = synthetic.pad_scan(pts, tiny_cfg.max_points)
+
+    origin = gridops.compute_origin(tiny_cfg, jnp.asarray(ego_far))
+    full_cfg = dataclasses.replace(
+        tiny_cfg, ray_steps_override=max(tiny_cfg.xy_size, tiny_cfg.z_size) + 4
+    )
+    outs = {}
+    for name, c in (("centered", tiny_cfg), ("full", full_cfg)):
+        g, ok = pipeline.ingest_scan(
+            c, jnp.asarray(pad), jnp.asarray(mask), jnp.asarray(ego_near), None, "xla", origin=origin
+        )
+        outs[name] = int(np.asarray(g.miss).sum())
+    assert outs["full"] > outs["centered"], "scene must exercise the truncation"
+
+    mesh = make_mesh(jax.devices()[:8])
+    step = make_batched_step(tiny_cfg, mesh, raycast_impl="xla")
+    world = empty_world_state(tiny_cfg)
+    S = 8
+    scans = jnp.asarray(np.stack([pad] * S))
+    masks = jnp.asarray(np.stack([mask] * S))
+    egos = jnp.asarray(np.stack([ego_near] * (S - 1) + [ego_far]))
+    w2, _ = step(world, scans, masks, egos)
+    # S-1 untruncated copies of the near scan + whatever the far scan adds
+    assert int(np.asarray(w2.grid.miss).sum()) >= (S - 1) * outs["full"]
+
+
 def test_graft_entry_points():
     import __graft_entry__
 
