@@ -143,6 +143,57 @@ def test_batched_step_full_ray_budget(tiny_cfg):
     assert int(np.asarray(w2.grid.miss).sum()) >= (S - 1) * outs["full"]
 
 
+def test_batched_step_oracle_parity(tiny_cfg):
+    """The sharded batched step's world equals the oracle's per-scan maps
+    summed (stationary ego ⇒ one shared origin; ingest sums are exact, and
+    occupied-wins evidence matches the slot-ordered form when every scan
+    shares the frame)."""
+    from gvom_tpu.oracle import NumpyOracle
+    from helpers import canonical
+
+    ego = np.array([0.3, -0.2, 1.5])
+    S = 8
+    scan_list = []
+    for i in range(S):
+        pts = synthetic.simulate_lidar_scan(
+            synthetic.composite_terrain(), ego, channels=8, azimuth_steps=32, max_range=10.0, seed=10 + i
+        )
+        scan_list.append(synthetic.nudge_off_grid(pts, tiny_cfg.xy_resolution, tiny_cfg.z_resolution))
+
+    oracle = NumpyOracle(tiny_cfg)
+    sms = [oracle.process_pointcloud(p, ego) for p in scan_list]
+    assert all(sm is not None for sm in sms)
+    origin = sms[0].origin
+    for sm in sms:
+        np.testing.assert_array_equal(sm.origin, origin)
+    hit_sum = sum(sm.hit for sm in sms)
+    pass_sum = sum(sm.passes for sm in sms)
+    minh = np.minimum.reduce([np.where(sm.hit > 0, sm.min_height, 1.0) for sm in sms])
+    n_sum = sum(sm.n for sm in sms)
+
+    mesh = make_mesh(jax.devices()[:8])
+    step = make_batched_step(tiny_cfg, mesh, raycast_impl="xla")
+    padded = [synthetic.pad_scan(p, tiny_cfg.max_points) for p in scan_list]
+    w2, _ = step(
+        empty_world_state(tiny_cfg),
+        jnp.asarray(np.stack([p for p, _ in padded])),
+        jnp.asarray(np.stack([m for _, m in padded])),
+        jnp.asarray(np.stack([ego.astype(np.float32)] * S)),
+    )
+    np.testing.assert_array_equal(np.asarray(w2.grid.origin), origin)
+    np.testing.assert_array_equal(canonical(w2.grid.hit, origin), hit_sum)
+    np.testing.assert_array_equal(canonical(w2.grid.miss, origin), pass_sum)
+    occ = hit_sum > 0
+    np.testing.assert_allclose(canonical(w2.grid.min_height, origin)[occ], minh[occ], atol=1e-5)
+    from gvom_tpu.ops import moments
+    n_eng, _, _ = moments.unpack_moments(w2.grid.mom, tiny_cfg.z_size)
+    np.testing.assert_allclose(canonical(n_eng, origin)[occ], n_sum[occ], rtol=1e-6)
+    # negative evidence: occupied-wins zeros; elsewhere the summed passes
+    ev = canonical(w2.grid.evidence, origin)
+    assert (ev[occ] == 0).all()
+    np.testing.assert_array_equal(ev[~occ], pass_sum[~occ])
+
+
 def test_graft_entry_points():
     import __graft_entry__
 
