@@ -39,6 +39,33 @@ def test_raycast_matmul_exact(scene):
     assert ref.sum() > 0
 
 
+def test_raycast_matmul_widened_budget():
+    """The batched sharded step widens ray_steps to the any-in-grid bound
+    (ego off-center in a foreign frame); the step-block tiling must stay
+    exact at that larger S."""
+    import dataclasses
+
+    from gvom_tpu.config import GvomConfig
+
+    cfg0 = GvomConfig(xy_size=32, z_size=16, max_points=1024)
+    cfg = dataclasses.replace(cfg0, ray_steps_override=max(cfg0.xy_size, cfg0.z_size) + 4)
+    ego_near = np.array([0.3, -0.2, 1.5], np.float32)
+    ego_far = ego_near + np.array([cfg.xy_size * cfg.xy_resolution * 0.45, 0.0, 0.0], np.float32)
+    pts = synthetic.simulate_lidar_scan(
+        synthetic.composite_terrain(), ego_near, channels=8, azimuth_steps=32, max_range=14.0, seed=3
+    )
+    pad, mask = synthetic.pad_scan(pts, cfg.max_points)
+    e = jnp.asarray(ego_near)
+    origin = gridops.compute_origin(cfg, jnp.asarray(ego_far))
+    pw, keep = binning.prepare_points(cfg, jnp.asarray(pad), jnp.asarray(mask), e)
+    ref = np.asarray(jax.jit(lambda: raycast.ray_pass_counts_xla(cfg, pw, keep, e, origin))())
+    mm = np.asarray(
+        jax.jit(lambda: ray_pass_counts_matmul(cfg, pw, keep, e, origin, interpret=True))()
+    )
+    np.testing.assert_array_equal(mm, ref)
+    assert ref.sum() > 0
+
+
 def test_raycast_matmul_empty(scene):
     cfg, pw, keep, e, origin = scene
     none = jnp.zeros_like(keep)
