@@ -31,10 +31,12 @@ def main():
         return iv
 
     ap.add_argument("--steps", type=positive_int, default=16, help="scans per timed jit call")
-    ap.add_argument("--mode", default="perscan", choices=["perscan", "batched", "combine"],
+    ap.add_argument("--mode", default="perscan", choices=["perscan", "batched", "combine", "async"],
                     help="perscan: one combine per scan (reference contract); "
                          "batched: BASELINE config #4 — batch of scans per step, one combine; "
-                         "combine: combine_maps alone (the reference's 9-12 Hz headline)")
+                         "combine: combine_maps alone (the reference's 9-12 Hz headline); "
+                         "async: BASELINE config #3 — 2 sensor threads ingesting into the "
+                         "facade's ring buffer (buffer=8) while the main thread combines")
     ap.add_argument("--batch", type=positive_int, default=32, help="scans per step in batched mode")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--xy-size", type=int, default=256)
@@ -95,6 +97,9 @@ def main():
     if args.mode == "combine":
         _run_combine(args, cfg, scans, masks, egos, n_distinct)
         return
+    if args.mode == "async":
+        _run_async(args, cfg, terrain)
+        return
 
     def step(carry, i):
         buf, world = carry
@@ -131,7 +136,7 @@ def main():
     baseline_hz = 10.5  # reference 9-12 Hz midpoint (README.md:17)
 
     result = {
-        "metric": "e2e_scan+combine_throughput_1chip_OS1-128_256x256x64",
+        "metric": f"e2e_scan+combine_throughput_1chip_{args.points}pts_{args.xy_size}x{args.xy_size}x{args.z_size}",
         "value": round(scans_per_s, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_s / baseline_hz, 2),
@@ -192,13 +197,98 @@ def _run_combine(args, cfg, scans, masks, egos, n_distinct):
     best = min(times)
     hz = args.steps / best
     result = {
-        "metric": "combine_maps_rate_1chip_256x256x64_buffer4",
+        "metric": f"combine_maps_rate_1chip_{args.xy_size}x{args.xy_size}x{args.z_size}_buffer4",
         "value": round(hz, 2),
         "unit": "Hz",
         "vs_baseline": round(hz / 10.5, 2),
         "steps": args.steps,
         "best_s": round(best, 4),
         "per_combine_ms": round(best / args.steps * 1e3, 3),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+def _run_async(args, cfg, terrain):
+    """BASELINE config #3: the reference's async contract — two sensor
+    threads call process_pointcloud into the ring buffer (buffer=8, README
+    advises > 2× sensor count) while the main thread runs combine_maps
+    back-to-back. Reports sustained combine Hz (the 9-12 Hz headline) with
+    the concurrent ingest load, plus aggregate scans/s ingested."""
+    import dataclasses
+    import threading
+    import time
+
+    import jax
+    import numpy as np
+
+    from gvom_tpu.engine.gvom import Gvom
+    from gvom_tpu.io import synthetic
+
+    cfg = dataclasses.replace(cfg, buffer_size=8)
+    engine = Gvom(config=cfg, raycast_impl=args.raycast)
+
+    # two sensors at poses a half-meter apart, distinct scan loops each
+    n_per = 3
+    sensor_scans = []
+    for s in range(2):
+        ego = np.array([0.5 + 0.5 * s, 0.3 * s, 1.6])
+        rows = []
+        for i in range(n_per):
+            ego = ego + np.array([0.45, 0.25, 0.01])
+            pts = synthetic.simulate_lidar_scan(
+                terrain, ego, channels=128, azimuth_steps=1200, max_range=60.0,
+                seed=10 * s + i, coarse_step=0.5, refine_iters=12,
+            )
+            rows.append((pts, ego.copy()))
+        sensor_scans.append(rows)
+
+    # compile both paths before timing
+    engine.process_pointcloud(*sensor_scans[0][0])
+    engine.combine_maps()
+
+    stop = threading.Event()
+    counts = [0, 0]
+
+    def producer(s):
+        i = 0
+        while not stop.is_set():
+            pts, ego = sensor_scans[s][i % n_per]
+            engine.process_pointcloud(pts, ego)
+            counts[s] += 1
+            i += 1
+
+    threads = [threading.Thread(target=producer, args=(s,), daemon=True) for s in range(2)]
+    for t in threads:
+        t.start()
+    time.sleep(0.2)  # let producers fill the buffer
+
+    best = None
+    total_scans = 0
+    for _ in range(max(1, args.repeats)):
+        c0 = sum(counts)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            out = engine.combine_maps()
+        jax.block_until_ready(engine.world_state)
+        dt = time.perf_counter() - t0
+        total_scans += sum(counts) - c0
+        if best is None or dt < best:
+            best = dt
+            scans_in_window = sum(counts) - c0
+    stop.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert out is not None
+    hz = args.steps / best
+    result = {
+        "metric": f"async_combine_rate_2sensors_buffer8_{args.xy_size}x{args.xy_size}x{args.z_size}",
+        "value": round(hz, 2),
+        "unit": "Hz",
+        "vs_baseline": round(hz / 10.5, 2),
+        "steps": args.steps,
+        "best_s": round(best, 4),
+        "ingest_scans_per_s": round(scans_in_window / best, 2),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
@@ -257,7 +347,7 @@ def _run_batched(args, cfg, scans, masks, egos, n_distinct):
     total_scans = B * args.steps
     scans_per_s = total_scans / best
     result = {
-        "metric": "batched_replay_throughput_1chip_OS1-128_256x256x64",
+        "metric": f"batched_replay_throughput_1chip_{args.points}pts_{args.xy_size}x{args.xy_size}x{args.z_size}",
         "value": round(scans_per_s, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_s / 10.5, 2),
