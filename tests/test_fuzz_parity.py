@@ -91,3 +91,59 @@ def test_fuzz_engine_matches_oracle(seed, over):
                                    oracle.x_slope_map[ok_fit], atol=2e-4)
         d = np.abs(np.asarray(products.positive_obstacle) - o_pos)[ok_fit]
         assert d.max() <= 1
+
+
+@pytest.mark.parametrize("seed,over", CASES)
+def test_fuzz_batched_step_mesh_consistency(seed, over):
+    """The sharded batched step is mesh-size invariant across fuzz configs:
+    two steps with a moving ego drive the sharded torus re-origin + decay
+    merge (align_to with slab coords), the riskiest collective path."""
+    from gvom_tpu.parallel.mesh import make_mesh
+    from gvom_tpu.parallel.sharding import make_batched_step
+
+    rng = np.random.default_rng(seed + 1000)
+    cfg = GvomConfig(max_points=4096, **over)
+    terrain = random_terrain(rng)
+
+    S = 8
+    batches = []
+    ego = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1), 1.5])
+    for b in range(2):
+        scans, masks, egos = [], [], []
+        for i in range(S):
+            # big strides so step 2's origin shifts several voxels
+            ego = ego + np.array([rng.uniform(0.3, 0.9), rng.uniform(-0.4, 0.4), 0.0])
+            pts = synthetic.simulate_lidar_scan(
+                terrain, ego, channels=8, azimuth_steps=32,
+                max_range=0.4 * cfg.xy_size * cfg.xy_resolution, seed=seed * 100 + b * 10 + i,
+            )
+            pts = synthetic.nudge_off_grid(pts, cfg.xy_resolution, cfg.z_resolution)
+            pad, mask = synthetic.pad_scan(pts, cfg.max_points)
+            scans.append(pad)
+            masks.append(mask)
+            egos.append(ego.astype(np.float32))
+        batches.append((jnp.asarray(np.stack(scans)), jnp.asarray(np.stack(masks)),
+                        jnp.asarray(np.stack(egos))))
+
+    out = {}
+    for ndev in (1, 8):
+        mesh = make_mesh(jax.devices()[:ndev])
+        step = make_batched_step(cfg, mesh, raycast_impl="xla")
+        world = empty_world_state(cfg)
+        for scans, masks, egos in batches:
+            world, products = step(world, scans, masks, egos)
+        out[ndev] = (world, products)
+
+    w1, p1 = out[1]
+    w8, p8 = out[8]
+    np.testing.assert_array_equal(np.asarray(w1.grid.origin), np.asarray(w8.grid.origin))
+    np.testing.assert_array_equal(np.asarray(w1.grid.hit), np.asarray(w8.grid.hit))
+    np.testing.assert_array_equal(np.asarray(w1.grid.miss), np.asarray(w8.grid.miss))
+    np.testing.assert_array_equal(np.asarray(w1.grid.evidence), np.asarray(w8.grid.evidence))
+    np.testing.assert_allclose(np.asarray(w1.grid.min_height), np.asarray(w8.grid.min_height), atol=1e-6)
+    # moment sums reduce in a different order through psum_scatter/psum than
+    # on one device — single-ulp f32 noise (rel ~1e-7 observed), not a bug
+    np.testing.assert_allclose(np.asarray(w1.grid.mom), np.asarray(w8.grid.mom), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(p1.visibility), np.asarray(p8.visibility))
+    np.testing.assert_allclose(np.asarray(p1.height), np.asarray(p8.height), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(p1.negative_obstacle), np.asarray(p8.negative_obstacle))
