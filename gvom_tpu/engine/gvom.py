@@ -256,3 +256,27 @@ class Gvom:
             self._products = None
             self._products_ok = False
             self._scan_count = 0
+
+    # --- crash recovery (SURVEY.md §5: the reference loses its
+    # last_combined_* rotation on crash; here the fused world is a pytree
+    # snapshot) ---------------------------------------------------------
+    def save_checkpoint(self, path: str) -> str:
+        """Snapshot the fused world state (orbax or .npz). The ring buffer is
+        transient by contract — it refills from the live scan stream."""
+        from gvom_tpu.utils.checkpoint import save_world
+
+        with self._lock:
+            return save_world(path, self._world, self.config)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore a fused world snapshot; ingest/combine continue from it."""
+        from gvom_tpu.utils.checkpoint import load_world
+
+        world = load_world(path)
+        if tuple(world.grid.hit.shape) != self.config.grid_shape:
+            raise ValueError(
+                f"checkpoint grid {tuple(world.grid.hit.shape)} does not match "
+                f"config grid {self.config.grid_shape}"
+            )
+        with self._lock:
+            self._world = world

@@ -1,6 +1,7 @@
 """Component tests: host node layer math, scan logs, replay, checkpoint,
 PointCloud2 deserialization (Python + native C), config system."""
 
+import dataclasses
 import os
 import tempfile
 
@@ -142,3 +143,49 @@ def test_metrics():
     snap = m.snapshot()
     assert snap["counters"]["scans"] == 3
     assert snap["timings"]["t"]["n"] == 1
+
+
+def test_crash_recovery_resume_determinism(small_cfg, tmp_path):
+    """SURVEY.md §5 crash recovery: resuming from a world snapshot and
+    replaying the remaining stream gives bit-identical outputs to the
+    uninterrupted run (the ring buffer refills from the stream: buffer_size=3
+    means scans 4-6 fully repopulate it)."""
+    from gvom_tpu.engine.gvom import Gvom
+    from gvom_tpu.io import synthetic as synth
+
+    def scans():
+        ego = np.array([0.3, -0.2, 1.5])
+        for i in range(6):
+            ego = ego + np.array([0.6, 0.3, 0.02])
+            pts = synth.simulate_lidar_scan(
+                synth.composite_terrain(), ego, channels=16, azimuth_steps=48,
+                max_range=20.0, seed=i,
+            )
+            yield synth.nudge_off_grid(pts, small_cfg.xy_resolution, small_cfg.z_resolution), ego
+
+    stream = list(scans())
+    a = Gvom(config=small_cfg)
+    for pts, ego in stream[:3]:
+        a.process_pointcloud(pts, ego)
+    assert a.combine_maps() is not None
+    ckpt = a.save_checkpoint(str(tmp_path / "mid"))
+    for pts, ego in stream[3:]:
+        a.process_pointcloud(pts, ego)
+    out_a = a.combine_maps()
+
+    b = Gvom(config=small_cfg)
+    b.load_checkpoint(ckpt)
+    for pts, ego in stream[3:]:
+        b.process_pointcloud(pts, ego)
+    out_b = b.combine_maps()
+
+    np.testing.assert_array_equal(out_a[0], out_b[0])
+    for x, y in zip(out_a[1:], out_b[1:]):
+        np.testing.assert_array_equal(x, y)
+    np.testing.assert_array_equal(
+        a.get_map_as_occupancy_grid(), b.get_map_as_occupancy_grid()
+    )
+
+    bad = Gvom(config=dataclasses.replace(small_cfg, z_size=small_cfg.z_size * 2))
+    with pytest.raises(ValueError):
+        bad.load_checkpoint(ckpt)
