@@ -65,20 +65,29 @@ def cmd_parity(args):
         world, products, _ = com(buf, world, jnp.asarray(np.float32(ego)))
         _, o_pos, o_neg, o_rough, o_vis = o_out
         pos = np.asarray(products.positive_obstacle)
+        # exclude (near-)singular 3x3 plane fits: their det!=0 guard keys off
+        # f32-vs-f64 rounding noise and flips slope-derived outputs
+        # arbitrarily; the raw_* metrics include them for transparency
+        from gvom_tpu.utils.parity import singular_fit_mask
+
+        ok = ~singular_fit_mask(oracle.height_map, cfg.xy_resolution)
+        rough = np.asarray(products.roughness)
+        rdef = ok & (o_rough > -1) & (rough > -1)
         report.append(
             {
                 "vis_equal": bool(np.array_equal(np.asarray(products.visibility), o_vis)),
                 "neg_equal": bool(np.array_equal(np.asarray(products.negative_obstacle), o_neg)),
-                "pos_mismatch_frac": float((pos != o_pos).mean()),
-                "pos_max_diff": int(np.abs(pos - o_pos).max()),
+                "pos_mismatch_frac": float((pos != o_pos)[ok].mean()),
+                "pos_max_diff": int(np.abs(pos - o_pos)[ok].max()),
                 "rough_max_diff_defined": float(
-                    np.abs(np.asarray(products.roughness) - o_rough)[(o_rough > -1)].max()
-                    if (o_rough > -1).any()
-                    else 0.0
+                    np.abs(rough - o_rough)[rdef].max() if rdef.any() else 0.0
                 ),
                 "height_max_diff": float(
                     np.abs(np.asarray(products.height) - oracle.height_map).max()
                 ),
+                "singular_fit_frac": float((~ok).mean()),
+                "raw_pos_mismatch_frac": float((pos != o_pos).mean()),
+                "raw_pos_max_diff": int(np.abs(pos - o_pos).max()),
             }
         )
     print(json.dumps({"config": {"grid": args.grid, "scans": args.scans}, "per_combine": report}, indent=2))
