@@ -119,3 +119,33 @@ def test_fused_moments_border_points(small_cfg):
     n1, _, _ = moments.unpack_moments(mom, cfg.z_size)
     assert float(n0[0, 0, 0]) == 2.0  # both points reach voxel (0,0,0)
     assert float(canonical(n1, origin)[0, 0, 0]) == 2.0
+
+
+@pytest.mark.parametrize("xye,ze", [(0, 0), (2, 1)])
+def test_fused_moments_eigen_radii(xye, ze):
+    """The fused kernel's box aggregation must match the scatter path at
+    non-default covariance support radii (gvom.py:47-51: xy/z_eigen_dist),
+    which change the moment_pad extents and the separable box size."""
+    import dataclasses
+
+    from gvom_tpu.config import GvomConfig
+
+    cfg = GvomConfig(
+        xy_size=32, z_size=16, max_points=2048, xy_eigen_dist=xye, z_eigen_dist=ze
+    )
+    ego = np.array([0.3, -0.2, 1.5])
+    pts = make_scan(synthetic.composite_terrain(), ego, n_az=48, channels=16, cfg=cfg, max_range=10.0)
+    pad, mask = synthetic.pad_scan(pts, cfg.max_points)
+    e = jnp.asarray(np.float32(ego))
+    pw, keep = binning.prepare_points(cfg, jnp.asarray(pad), jnp.asarray(mask), e)
+    origin = gridops.compute_origin(cfg, e)
+
+    bins = jax.jit(lambda: binning.bin_points(cfg, pw, keep, origin))()
+    n0, s1_0, s2_0 = jax.jit(lambda: moments.box_aggregate_moments(cfg, bins))()
+    hit, mh, mom = jax.jit(lambda: fused_point_moments(cfg, pw, keep, origin, interpret=True))()
+    n1, s1_1, s2_1 = moments.unpack_moments(mom, cfg.z_size)
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(bins.hit))
+    occ = canonical(bins.hit, origin) > 0
+    np.testing.assert_allclose(canonical(n1, origin)[occ], np.asarray(n0)[occ], atol=1e-3)
+    np.testing.assert_allclose(canonical(s1_1, origin)[:, occ], np.asarray(s1_0)[:, occ], rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(canonical(s2_1, origin)[:, occ], np.asarray(s2_0)[:, occ], rtol=1e-5, atol=2e-3)
