@@ -31,13 +31,18 @@ def main():
         return iv
 
     ap.add_argument("--steps", type=positive_int, default=16, help="scans per timed jit call")
-    ap.add_argument("--mode", default="perscan", choices=["perscan", "batched", "combine", "async"],
+    ap.add_argument("--mode", default="perscan",
+                    choices=["perscan", "batched", "combine", "async", "scaling"],
                     help="perscan: one combine per scan (reference contract); "
                          "batched: BASELINE config #4 — batch of scans per step, one combine; "
                          "combine: combine_maps alone (the reference's 9-12 Hz headline); "
                          "async: BASELINE config #3 — 2 sensor threads ingesting into the "
-                         "facade's ring buffer (buffer=8) while the main thread combines")
+                         "facade's ring buffer (buffer=8) while the main thread combines; "
+                         "scaling: BASELINE config #5 — batched throughput per device count, "
+                         "reports parallel efficiency")
     ap.add_argument("--batch", type=positive_int, default=32, help="scans per step in batched mode")
+    ap.add_argument("--devices", default=None,
+                    help="scaling mode: comma-separated device counts (default: 1,2,...,all)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--xy-size", type=int, default=256)
     ap.add_argument("--z-size", type=int, default=64)
@@ -99,6 +104,9 @@ def main():
         return
     if args.mode == "async":
         _run_async(args, cfg, terrain)
+        return
+    if args.mode == "scaling":
+        _run_scaling(args, cfg, scans, masks, egos, n_distinct)
         return
 
     def step(carry, i):
@@ -357,6 +365,84 @@ def _run_batched(args, cfg, scans, masks, egos, n_distinct):
         "per_scan_ms": round(best / total_scans * 1e3, 3),
         "raycast": args.raycast,
         "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+def _run_scaling(args, cfg, scans, masks, egos, n_distinct):
+    """BASELINE config #5: weak-scaling efficiency of the sharded batched
+    step — per-device batch held at --batch while the device count grows;
+    value = throughput(all devices) / (N × throughput(1))."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from gvom_tpu.parallel.mesh import make_mesh
+    from gvom_tpu.parallel.sharding import make_batched_step
+    from gvom_tpu.types import empty_world_state
+
+    all_dev = jax.devices()
+    if args.devices:
+        counts = [int(c) for c in args.devices.split(",")]
+    else:
+        counts = []
+        c = 1
+        while c <= len(all_dev):
+            counts.append(c)
+            c *= 2
+        if counts[-1] != len(all_dev):
+            counts.append(len(all_dev))
+
+    per_count = {}
+    for ndev in counts:
+        mesh = make_mesh(all_dev[:ndev])
+        bstep = make_batched_step(cfg, mesh, raycast_impl=args.raycast)
+        B = args.batch * ndev
+        reps = jnp.arange(B, dtype=jnp.int32) % n_distinct
+        bscans = scans[reps]
+        bmasks = masks[reps]
+
+        def step(carry, i):
+            world, ego0 = carry
+            begos = ego0[None, :] + jnp.arange(B, dtype=jnp.float32)[:, None] * jnp.array(
+                [0.02, 0.01, 0.0], jnp.float32
+            )
+            world, products = bstep(world, bscans, bmasks, begos)
+            probe = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in products)
+            return (world, ego0 + jnp.array([0.3, 0.15, 0.0], jnp.float32)), probe
+
+        @jax.jit
+        def run(world, ego0):
+            (world, _), probe = jax.lax.scan(step, (world, ego0), jnp.arange(args.steps))
+            return world, probe
+
+        world = empty_world_state(cfg)
+        out = run(world, egos[0])
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = run(world, egos[0])
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        per_count[ndev] = B * args.steps / best
+        if args.verbose:
+            print(f"[bench] {ndev} devices: {per_count[ndev]:.1f} scans/s", file=sys.stderr)
+
+    n_max = counts[-1]
+    eff = per_count[n_max] / (n_max * per_count[counts[0]] / counts[0])
+    result = {
+        "metric": f"weak_scaling_efficiency_{n_max}dev_batch{args.batch}perdev",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "vs_baseline": round(eff / 0.8, 2),  # BASELINE north star: >=80%
+        "scans_per_s": {str(k): round(v, 1) for k, v in per_count.items()},
+        "steps": args.steps,
+        "raycast": args.raycast,
+        "devices": counts,
+        "platform": str(all_dev[0].platform),
     }
     print(json.dumps(result))
 
