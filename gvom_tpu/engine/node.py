@@ -120,6 +120,16 @@ class VoxelMapperNode:
         self.last_layers = layers
         return layers
 
+    # reference channel names, gvom_ros.py:170-189 (debug/lidar is declared
+    # but never published by the reference — same here, surface parity)
+    DEBUG_CHANNELS = {
+        "debug/voxel": ["x", "y", "z", "solid factor", "count",
+                        "eigen_line", "eigen_surface", "eigen_point"],
+        "debug/height_map": ["x", "y", "z", "roughness", "slope_x", "slope_y",
+                             "slope", "obstacles"],
+        "debug/inferred_height_map": ["x", "y", "z"],
+    }
+
     def publish_debug(self) -> None:
         for name, fn in (
             ("debug/voxel", self.engine.make_debug_voxel_map),
@@ -127,8 +137,21 @@ class VoxelMapperNode:
             ("debug/inferred_height_map", self.engine.make_debug_inferred_height_map),
         ):
             data = fn()
-            if data is not None:
-                self.publisher(name, data, {})
+            if data is None:
+                continue
+            if name == "debug/height_map" and self.last_layers is not None:
+                # reference appends the positive-obstacle map as an extra
+                # channel, Fortran-flattened (gvom_ros.py:180)
+                obs = np.reshape(
+                    self.last_layers["positive_obstacle_map"], -1, order="F"
+                ).astype(np.float32)
+                data = np.concatenate([data, obs[:, None]], axis=1)
+            else:
+                data = np.asarray(data, np.float32)
+            names = list(self.DEBUG_CHANNELS[name])
+            if data.shape[1] != len(names):  # height map without an obs layer yet
+                names = names[: data.shape[1]]
+            self.publisher(name, data, {"channels": names})
 
     # --- timer loop (reference rospy.Timer at `freq`, gvom_ros.py:72) ---
     def start(self) -> None:

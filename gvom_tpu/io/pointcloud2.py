@@ -18,7 +18,13 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["PointField", "CloudSpec", "pointcloud2_to_xyz", "native_available"]
+__all__ = [
+    "PointField",
+    "CloudSpec",
+    "pointcloud2_to_xyz",
+    "array_to_pointcloud2",
+    "native_available",
+]
 
 # ROS sensor_msgs/PointField datatype codes
 _DTYPES = {
@@ -123,3 +129,18 @@ def pointcloud2_to_xyz(
     if drop_nan:
         xyz = xyz[np.isfinite(xyz).all(axis=1)]
     return np.ascontiguousarray(xyz)
+
+
+def array_to_pointcloud2(
+    arr: np.ndarray, names: Sequence[str]
+) -> Tuple[bytes, CloudSpec]:
+    """Encode an [N, K] float32 array as PointCloud2 wire data — the inverse
+    of pointcloud2_to_xyz, with the dense all-float32 layout ros_numpy's
+    array_to_pointcloud2 produces for the reference's debug clouds
+    (gvom_ros.py:170-189): field k at offset 4k, point_step 4K."""
+    arr = np.ascontiguousarray(np.asarray(arr, np.float32))
+    if arr.ndim != 2 or arr.shape[1] != len(names):
+        raise ValueError(f"need [N, {len(names)}] array, got {arr.shape}")
+    fields = [PointField(name, 4 * k, 7) for k, name in enumerate(names)]
+    spec = CloudSpec(fields=fields, point_step=4 * len(names), width=arr.shape[0])
+    return arr.tobytes(), spec

@@ -11,7 +11,12 @@ from sensor_msgs.msg import PointCloud2
 
 from gvom_tpu.config import GvomConfig
 from gvom_tpu.engine.node import VoxelMapperNode
-from gvom_tpu.io.pointcloud2 import CloudSpec, PointField, pointcloud2_to_xyz
+from gvom_tpu.io.pointcloud2 import (
+    CloudSpec,
+    PointField,
+    array_to_pointcloud2,
+    pointcloud2_to_xyz,
+)
 
 __all__ = ["GvomRosNode", "main"]
 
@@ -70,6 +75,13 @@ class GvomRosNode:
                 "roughness_map",
             )
         }
+        # debug PointCloud2 surface (gvom_ros.py:74-77; debug/lidar is
+        # declared-but-never-published in the reference — kept for parity)
+        self.debug_pubs = {
+            name: rospy.Publisher(f"~{name}", PointCloud2, queue_size=1)
+            for name in ("debug/lidar", "debug/voxel", "debug/height_map",
+                         "debug/inferred_height_map")
+        }
         rospy.Subscriber("~cloud", PointCloud2, self.cb_lidar, queue_size=1)
         rospy.Subscriber("~odom", Odometry, self.cb_odom, queue_size=1)
         rospy.Timer(rospy.Duration(1.0 / cfg.combine_freq), self.cb_timer)
@@ -95,9 +107,13 @@ class GvomRosNode:
         self.node.on_pointcloud(xyz, tf_mat)
 
     def cb_timer(self, _event):
-        self.node.publish_maps()
+        if self.node.publish_maps() is not None:
+            self.node.publish_debug()   # reference publishes debug each tick
 
     def _publish(self, name, data, meta):
+        if name in self.debug_pubs:
+            self._publish_debug_cloud(name, data, meta)
+            return
         pub = self.pubs.get(name)
         if pub is None:
             return
@@ -114,6 +130,26 @@ class GvomRosNode:
         # Fortran-order flatten as the reference publishes (gvom_ros.py:142)
         msg.data = np.reshape(data, -1, order="F").astype(np.int8)
         pub.publish(msg)
+
+    def _publish_debug_cloud(self, name, data, meta):
+        wire, spec = array_to_pointcloud2(data, meta["channels"])
+        msg = PointCloud2()
+        msg.header.stamp = rospy.Time.now()
+        msg.header.frame_id = self.node.config.odom_frame
+        msg.height = 1
+        msg.width = spec.width
+        from sensor_msgs.msg import PointField as RosPointField
+
+        msg.fields = [
+            RosPointField(name=f.name, offset=f.offset, datatype=f.datatype, count=1)
+            for f in spec.fields
+        ]
+        msg.is_bigendian = False
+        msg.point_step = spec.point_step
+        msg.row_step = spec.point_step * spec.width
+        msg.is_dense = True
+        msg.data = wire
+        self.debug_pubs[name].publish(msg)
 
 
 def main():

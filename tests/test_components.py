@@ -189,3 +189,46 @@ def test_crash_recovery_resume_determinism(small_cfg, tmp_path):
     bad = Gvom(config=dataclasses.replace(small_cfg, z_size=small_cfg.z_size * 2))
     with pytest.raises(ValueError):
         bad.load_checkpoint(ckpt)
+
+
+def test_pointcloud2_encoder_roundtrip():
+    from gvom_tpu.io.pointcloud2 import array_to_pointcloud2
+
+    a = np.random.default_rng(0).normal(size=(64, 8)).astype(np.float32)
+    names = ["x", "y", "z", "solid factor", "count", "eigen_line", "eigen_surface", "eigen_point"]
+    wire, spec = array_to_pointcloud2(a, names)
+    assert [f.name for f in spec.fields] == names
+    xyz = pointcloud2_to_xyz(wire, spec)
+    np.testing.assert_array_equal(xyz, a[:, :3])
+    with pytest.raises(ValueError):
+        array_to_pointcloud2(a, names[:3])
+
+
+def test_node_debug_publish_channels(small_cfg):
+    """publish_debug emits the reference's debug clouds with its channel
+    names, incl. the obstacles channel appended to the height-map cloud
+    (gvom_ros.py:170-189)."""
+    got = {}
+    node = VoxelMapperNode(config=small_cfg, publisher=lambda n, d, m: got.setdefault(n, (d, m)))
+    node.on_odometry(np.array([0.3, -0.2, 1.5]))
+    ego = np.array([0.3, -0.2, 1.5])
+    for i in range(2):
+        ego = ego + np.array([0.5, 0.2, 0.0])
+        node.on_odometry(ego)
+        pts = synthetic.simulate_lidar_scan(
+            synthetic.composite_terrain(), ego, channels=16, azimuth_steps=48, max_range=20.0, seed=i
+        )
+        node.on_pointcloud(pts)
+    assert node.publish_maps() is not None
+    node.publish_debug()
+    X = small_cfg.xy_size
+    d, m = got["debug/height_map"]
+    assert d.shape == (X * X, 8) and m["channels"][-1] == "obstacles"
+    # the appended channel is the Fortran-flattened positive obstacle map
+    np.testing.assert_array_equal(
+        d[:, 7], np.reshape(got["positive_obstacle_map"][0], -1, order="F").astype(np.float32)
+    )
+    d, m = got["debug/voxel"]
+    assert d.shape[1] == 8 and m["channels"][3] == "solid factor"
+    d, m = got["debug/inferred_height_map"]
+    assert d.shape == (X * X, 3) and m["channels"] == ["x", "y", "z"]
