@@ -46,7 +46,7 @@ def _run(schedule):
     return g, outs, n_ingested
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(_ops)
 def test_schedule_determinism_and_invariants(schedule):
     g1, outs1, n1 = _run(schedule)
