@@ -52,9 +52,17 @@ def batched_replay(
     batch_size: int,
     mesh=None,
     raycast_impl: str = "auto",
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume_from: Optional[str] = None,
 ):
     """Run the log through the sharded batched step, `batch_size` scans per
-    step. Returns (final world, list of per-batch MapProducts, metrics)."""
+    step. Returns (final world, list of per-batch MapProducts, metrics).
+
+    With `checkpoint_dir` + `checkpoint_every=k`, the world pytree is
+    snapshotted every k batches (crash recovery for long replays, SURVEY.md
+    §5); `resume_from` starts from a prior snapshot instead of an empty
+    world."""
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +74,12 @@ def batched_replay(
     if mesh is None:
         mesh = make_mesh()
     step = make_batched_step(cfg, mesh, raycast_impl)
-    world = empty_world_state(cfg)
+    if resume_from is not None:
+        from gvom_tpu.utils.checkpoint import load_world
+
+        world = load_world(resume_from)
+    else:
+        world = empty_world_state(cfg)
     metrics = StepMetrics()
     products_list = []
 
@@ -95,6 +108,15 @@ def batched_replay(
         metrics.bump("scans", n_real)
         metrics.bump("batches")
         products_list.append(products)
+        if checkpoint_dir and checkpoint_every > 0:
+            nb = metrics.snapshot()["counters"]["batches"]
+            if nb % checkpoint_every == 0:
+                import os
+
+                from gvom_tpu.utils.checkpoint import save_world
+
+                save_world(os.path.join(checkpoint_dir, f"world_b{nb}"), world, cfg)
+                metrics.bump("checkpoints")
         batch_pts.clear()
         batch_mask.clear()
         batch_ego.clear()

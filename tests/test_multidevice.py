@@ -202,3 +202,29 @@ def test_graft_entry_points():
     jax.block_until_ready(out)
     assert out[0].shape == out[1].shape
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_batched_replay_checkpoint_resume(tiny_cfg, tmp_path):
+    """batched_replay snapshots every k batches and resumes bit-identically:
+    replaying the second half from the mid-log snapshot reproduces the
+    uninterrupted final world."""
+    from gvom_tpu.engine.replay import batched_replay
+
+    log = synthesize_log(16, channels=8, azimuth_steps=32, max_range=10.0)
+    full_world, _, m = batched_replay(
+        tiny_cfg, log, batch_size=8,
+        checkpoint_dir=str(tmp_path), checkpoint_every=1, raycast_impl="xla",
+    )
+    assert m.snapshot()["counters"]["checkpoints"] == 2
+    resumed_world, _, _ = batched_replay(
+        tiny_cfg, list(log)[8:], batch_size=8,
+        resume_from=str(tmp_path / "world_b1") if (tmp_path / "world_b1").exists()
+        else str(tmp_path / "world_b1.npz"),
+        raycast_impl="xla",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full_world.grid.hit), np.asarray(resumed_world.grid.hit)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full_world.grid.evidence), np.asarray(resumed_world.grid.evidence)
+    )
