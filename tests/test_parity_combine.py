@@ -108,3 +108,36 @@ def test_five_outputs(runs, small_cfg):
         d = np.abs(pos - o_pos)[ok]
         assert d.max() <= 1, f"max pos diff {d.max()} on well-conditioned cells"
         assert (d > 0).mean() < 0.01
+
+
+def test_transform_argument_parity(small_cfg):
+    """The sensor→world transform path (reference __transform_pointcloud,
+    gvom.py:1038-1056, applied before the world-frame min_distance filter):
+    engine and oracle agree through a rigid transform. The transform uses
+    0/±1 rotation entries and dyadic translations so f32 (engine) and f64
+    (oracle) arithmetic agree bitwise."""
+    ego = np.array([0.3, -0.2, 1.5])
+    pts_world = make_scan(synthetic.composite_terrain(), ego, cfg=small_cfg)
+    # sensor frame: world = R @ sensor + t  with exact-in-f32 entries
+    R = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    t = np.array([2.25, -1.5, 0.5])
+    tf = np.eye(4)
+    tf[:3, :3] = R
+    tf[:3, 3] = t
+    pts_sensor = (pts_world - t) @ R  # R^-1 = R.T applied on the right
+
+    oracle = NumpyOracle(small_cfg)
+    sm_ref = oracle.process_pointcloud(pts_world, ego)
+    oracle2 = NumpyOracle(small_cfg)
+    sm_tf = oracle2.process_pointcloud(pts_sensor, ego, transform=tf)
+    np.testing.assert_array_equal(sm_ref.hit, sm_tf.hit)  # oracle self-consistency
+
+    pad, mask = synthetic.pad_scan(pts_sensor, small_cfg.max_points)
+    grid, ok = pipeline.ingest_scan(
+        small_cfg, jnp.asarray(pad.astype(np.float32)), jnp.asarray(mask),
+        jnp.asarray(np.float32(ego)), jnp.asarray(tf.astype(np.float32)),
+    )
+    assert bool(ok)
+    from helpers import canonical
+    np.testing.assert_array_equal(canonical(grid.hit, sm_tf.origin), sm_tf.hit)
+    np.testing.assert_array_equal(canonical(grid.miss, sm_tf.origin), sm_tf.passes)
