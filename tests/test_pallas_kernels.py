@@ -149,3 +149,26 @@ def test_fused_moments_eigen_radii(xye, ze):
     np.testing.assert_allclose(canonical(n1, origin)[occ], np.asarray(n0)[occ], atol=1e-3)
     np.testing.assert_allclose(canonical(s1_1, origin)[:, occ], np.asarray(s1_0)[:, occ], rtol=1e-5, atol=1e-3)
     np.testing.assert_allclose(canonical(s2_1, origin)[:, occ], np.asarray(s2_0)[:, occ], rtol=1e-5, atol=2e-3)
+
+
+@pytest.mark.parametrize("idx_dt,val_dt", [("int16", "int8"), ("int32", "bfloat16")])
+def test_kernel_dtype_variants_exact(scene, monkeypatch, idx_dt, val_dt):
+    """The patchable one-hot dtypes (int16 compares pack 2/lane; bf16 matmul
+    operands hit the MXU natively) must stay exact — these are the variants
+    the TPU tuning harness flips (scratch/raymicro.py, scratch/mommicro.py)."""
+    import gvom_tpu.ops.pallas_kernels as pk
+
+    cfg, pw, keep, e, origin = scene
+    monkeypatch.setattr(pk, "_OH_IDX", getattr(jnp, idx_dt))
+    monkeypatch.setattr(pk, "_OH_VAL", getattr(jnp, val_dt))
+    ref = np.asarray(jax.jit(lambda: raycast.ray_pass_counts_xla(cfg, pw, keep, e, origin))())
+    mm = np.asarray(pk.ray_pass_counts_matmul(cfg, pw, keep, e, origin, interpret=True))
+    np.testing.assert_array_equal(mm, ref)
+
+    bins = jax.jit(lambda: binning.bin_points(cfg, pw, keep, origin))()
+    hit, _, mom = pk.fused_point_moments(cfg, pw, keep, origin, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(bins.hit))
+    n0, _, _ = jax.jit(lambda: moments.box_aggregate_moments(cfg, bins))()
+    n1, _, _ = moments.unpack_moments(mom, cfg.z_size)
+    occ = canonical(bins.hit, origin) > 0
+    np.testing.assert_allclose(canonical(n1, origin)[occ], np.asarray(n0)[occ], atol=1e-3)
