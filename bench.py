@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--batch", type=positive_int, default=32, help="scans per step in batched mode")
     ap.add_argument("--devices", default=None,
                     help="scaling mode: comma-separated device counts (default: 1,2,...,all)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="perscan mode: combine the PREVIOUS buffer while ingesting the "
+                         "current scan (independent subgraphs XLA can overlap; matches the "
+                         "reference's async combine-timer contract, products lag one scan)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--xy-size", type=int, default=256)
     ap.add_argument("--z-size", type=int, default=64)
@@ -112,8 +116,14 @@ def main():
     def step(carry, i):
         buf, world = carry
         j = i % n_distinct
-        buf, _ = pipeline.ingest_and_insert(cfg, buf, scans[j], masks[j], egos[j], None, raycast_impl)
-        world, products, _ = pipeline.combine(cfg, buf, world, egos[j])
+        if args.pipelined:
+            # combine the previous buffer concurrently with this scan's
+            # ingest — no data dependence between the two subgraphs
+            world, products, _ = pipeline.combine(cfg, buf, world, egos[j])
+            buf, _ = pipeline.ingest_and_insert(cfg, buf, scans[j], masks[j], egos[j], None, raycast_impl)
+        else:
+            buf, _ = pipeline.ingest_and_insert(cfg, buf, scans[j], masks[j], egos[j], None, raycast_impl)
+            world, products, _ = pipeline.combine(cfg, buf, world, egos[j])
         # checksum over every output layer so nothing is dead-code-eliminated
         probe = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in products)
         return (buf, world), probe
@@ -152,6 +162,7 @@ def main():
         "best_s": round(best, 4),
         "per_step_ms": round(best / args.steps * 1e3, 2),
         "raycast": raycast_impl,
+        "pipelined": bool(args.pipelined),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
