@@ -28,7 +28,7 @@ for s in range(2):
 
 # op > len(_SCANS)-1 would index out; -1 encodes combine_maps
 _ops = st.lists(
-    st.integers(min_value=-1, max_value=len(_SCANS) - 1), min_size=2, max_size=10
+    st.integers(min_value=-1, max_value=len(_SCANS) - 1), min_size=2, max_size=8
 )
 
 
@@ -46,7 +46,7 @@ def _run(schedule):
     return g, outs, n_ingested
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(_ops)
 def test_schedule_determinism_and_invariants(schedule):
     g1, outs1, n1 = _run(schedule)
