@@ -25,6 +25,7 @@ anywhere in the path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -47,6 +48,10 @@ _OH_VAL = jnp.int8   # value dtype of the raycast one-hot matmul operands
                      # (0/1 is exact in every candidate dtype; counts
                      # accumulate exactly in the 24-bit f32 significand —
                      # K per matmul is far below 2^24)
+
+_RAY_TIER64 = os.environ.get("GVOM_RAY_TIER64", "") == "1"  # opt-in mod-64
+                     # near tier for raycast steps 1..31 (exactness pinned in
+                     # tests; default flips only on a measured TPU win)
 
 
 def use_fast_path() -> bool:
@@ -344,31 +349,43 @@ def ray_pass_counts_matmul(
         return jnp.concatenate([jnp.zeros((len(groups), 1, 5), jnp.int32), meta], axis=1)
 
     # --- xy-dominant kernel: groups 0..3, hist over (u∈[0,256), v=z) ---
-    # Split into a windowed near tier (mod-128 u columns: at step s the u
-    # coordinate spans 2s+1 ≤ 127 cells, so mod-128 is injective — halves the
-    # matmul M and the ohu build for ~85% of live chunks) and a full-width far
-    # tier. The near hists are untiled by replication + a per-(group, step)
-    # window mask (pure elementwise — the mod-u trick costs no extra matmul).
+    # Split into windowed near tiers (mod-W u columns: at step s the u
+    # coordinate spans 2s+1 ≤ W−1 cells, so mod-W is injective — shrinks the
+    # matmul M and the ohu build for the near steps that carry ~85% of live
+    # chunks) and a full-width far tier. The near hists are untiled by
+    # replication + a per-(group, step) window mask (pure elementwise — the
+    # mod-u trick costs no extra matmul). The opt-in mod-64 tier
+    # (GVOM_RAY_TIER64=1) further halves steps 1..31; measured before any
+    # default flip (scratch/raymicro.py).
     meta_xy = build_meta([0, 1, 2, 3])
-    W = 128
-    S_near = min(S, (W - 1) // 2)
-    if X > W and X % W == 0 and S_near >= 31:
-        hist_n = _run_hist(meta_xy, startuv[:4], su_s, sv_s, 4, S_near, X, Z,
-                           interpret, paired=True, SB=21, u_mod=W)
-        tiled = jnp.concatenate([hist_n] * (X // W), axis=2)       # [4, S_near, X, Z]
+    tiers = []  # (W, s_lo, s_hi, SB): steps s_lo..s_hi at u_mod=W
+    if _RAY_TIER64 and X > 64 and X % 64 == 0 and S >= 8:
+        t0 = min(S, 31)
+        tiers.append((64, 1, t0, t0))
+        if S > 31:
+            t1 = min(S, 63)
+            tiers.append((128, 32, t1, t1 - 31))
+    elif X > 128 and X % 128 == 0 and min(S, 63) >= 31:
+        tiers.append((128, 1, min(S, 63), 21))
+    if tiers:
         ys = jnp.arange(X)
-        s_n = jnp.arange(1, S_near + 1)
-        lo = jnp.floor(startuv[:4, 0]).astype(jnp.int32)[:, None] - s_n[None, :]
-        in_win = (ys[None, None, :] >= lo[:, :, None]) & (
-            ys[None, None, :] <= (lo + 2 * s_n[None, :])[:, :, None]
-        )
-        hist_near = tiled * in_win[..., None].astype(jnp.float32)
-        if S > S_near:
-            hist_far = _run_hist(meta_xy, startuv[:4], su_s, sv_s, 4, S - S_near, X, Z,
-                                 interpret, paired=True, SB=_SBLOCK_XY, s_off=S_near)
-            hist_xy = jnp.concatenate([hist_near, hist_far], axis=1)
-        else:
-            hist_xy = hist_near
+        parts = []
+        for W, s_lo, s_hi, SBt in tiers:
+            S_t = s_hi - s_lo + 1
+            hist_t = _run_hist(meta_xy, startuv[:4], su_s, sv_s, 4, S_t, X, Z,
+                               interpret, paired=True, SB=SBt, u_mod=W, s_off=s_lo - 1)
+            tiled = jnp.concatenate([hist_t] * (X // W), axis=2)   # [4, S_t, X, Z]
+            s_n = jnp.arange(s_lo, s_hi + 1)
+            lo = jnp.floor(startuv[:4, 0]).astype(jnp.int32)[:, None] - s_n[None, :]
+            in_win = (ys[None, None, :] >= lo[:, :, None]) & (
+                ys[None, None, :] <= (lo + 2 * s_n[None, :])[:, :, None]
+            )
+            parts.append(tiled * in_win[..., None].astype(jnp.float32))
+        s_done = tiers[-1][2]
+        if S > s_done:
+            parts.append(_run_hist(meta_xy, startuv[:4], su_s, sv_s, 4, S - s_done, X, Z,
+                                   interpret, paired=True, SB=_SBLOCK_XY, s_off=s_done))
+        hist_xy = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     else:
         hist_xy = _run_hist(meta_xy, startuv[:4], su_s, sv_s, 4, S, X, Z, interpret, paired=True, SB=_SBLOCK_XY)
 

@@ -172,3 +172,28 @@ def test_kernel_dtype_variants_exact(scene, monkeypatch, idx_dt, val_dt):
     n1, _, _ = moments.unpack_moments(mom, cfg.z_size)
     occ = canonical(bins.hit, origin) > 0
     np.testing.assert_allclose(canonical(n1, origin)[occ], np.asarray(n0)[occ], atol=1e-3)
+
+
+@pytest.mark.parametrize("tier64", [False, True])
+def test_raycast_window_tiers_exact(scene, monkeypatch, tier64):
+    """The windowed near tiers stay exact vs the XLA path on a 256-wide grid:
+    default (mod-128 steps 1..63 + full-width far tier) and the opt-in
+    GVOM_RAY_TIER64 layout (mod-64 steps 1..31, mod-128 32..63, far)."""
+    import dataclasses
+
+    import gvom_tpu.ops.pallas_kernels as pk
+    from gvom_tpu.config import GvomConfig
+
+    cfg = GvomConfig(xy_size=256, z_size=32, max_points=4096)
+    ego = np.array([0.3, -0.2, 1.5])
+    pts = make_scan(synthetic.composite_terrain(), ego, n_az=64, channels=16,
+                    cfg=cfg, max_range=45.0)
+    pad, mask = synthetic.pad_scan(pts, cfg.max_points)
+    e = jnp.asarray(np.float32(ego))
+    pw, keep = binning.prepare_points(cfg, jnp.asarray(pad), jnp.asarray(mask), e)
+    origin = gridops.compute_origin(cfg, e)
+    ref = np.asarray(jax.jit(lambda: raycast.ray_pass_counts_xla(cfg, pw, keep, e, origin))())
+    monkeypatch.setattr(pk, "_RAY_TIER64", tier64)
+    mm = np.asarray(pk.ray_pass_counts_matmul(cfg, pw, keep, e, origin, interpret=True))
+    np.testing.assert_array_equal(mm, ref)
+    assert ref.sum() > 0
