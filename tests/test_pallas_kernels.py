@@ -197,3 +197,25 @@ def test_raycast_window_tiers_exact(scene, monkeypatch, tier64):
     mm = np.asarray(pk.ray_pass_counts_matmul(cfg, pw, keep, e, origin, interpret=True))
     np.testing.assert_array_equal(mm, ref)
     assert ref.sum() > 0
+
+
+def test_raycast_matmul_z_dominant(scene):
+    """Near-vertical rays (|dz| > |dx|,|dy|) route through the z-dominant
+    kernel groups (4/5), which lidar-scan fixtures barely exercise."""
+    cfg, _, _, e, origin = scene
+    rng = np.random.default_rng(7)
+    n = 256
+    # endpoints mostly straight down/up from the ego with small xy jitter
+    dx = rng.uniform(-0.3, 0.3, n)
+    dy = rng.uniform(-0.3, 0.3, n)
+    dz = np.where(rng.random(n) < 0.5, -1.0, 1.0) * rng.uniform(2.0, 5.0, n)
+    pts = np.asarray(e)[None, :] + np.stack([dx, dy, dz], axis=1)
+    pad = np.zeros((cfg.max_points, 3), np.float32)
+    pad[:n] = pts
+    keep = np.zeros((cfg.max_points,), bool)
+    keep[:n] = True
+    pw, kp = binning.prepare_points(cfg, jnp.asarray(pad), jnp.asarray(keep), e)
+    ref = np.asarray(jax.jit(lambda: raycast.ray_pass_counts_xla(cfg, pw, kp, e, origin))())
+    mm = np.asarray(ray_pass_counts_matmul(cfg, pw, kp, e, origin, interpret=True))
+    np.testing.assert_array_equal(mm, ref)
+    assert ref.sum() > 0
