@@ -230,3 +230,42 @@ def test_moments_additive(prop_cfg):
         unpacked(g_a) + unpacked(g_b), unpacked(g_all), rtol=0, atol=1e-4)
     np.testing.assert_array_equal(
         np.asarray(g_a.hit) + np.asarray(g_b.hit), np.asarray(g_all.hit))
+
+
+def test_nonfinite_points_are_dropped(small_cfg):
+    """NaN/Inf points (common in real PointCloud2 streams) must be masked out
+    by the world-frame distance filter, never corrupt the grid, and a point
+    exactly at the ego (zero-length ray) must not raycast."""
+    cfg = small_cfg
+    ego = np.array([0.3, -0.2, 1.5], np.float32)
+    good = ego + np.array([[3.0, 0.5, -1.0], [2.0, -1.5, -0.8]], np.float32)
+    bad = np.array(
+        [
+            [np.nan, 1.0, 1.0],
+            [np.inf, 2.0, 0.0],
+            [-np.inf, np.nan, np.inf],
+            ego,                     # zero-length ray
+        ],
+        np.float32,
+    )
+    pts = np.concatenate([good, bad], axis=0)
+    pad, mask = synthetic.pad_scan(pts, cfg.max_points)
+    grid, ok = pipeline.ingest_scan(
+        cfg, jnp.asarray(pad), jnp.asarray(mask), jnp.asarray(ego)
+    )
+    hit = np.asarray(grid.hit)
+    miss = np.asarray(grid.miss)
+    assert bool(ok)
+    assert np.isfinite(np.asarray(grid.min_height)).all()
+    assert np.isfinite(np.asarray(grid.mom)).all()
+    # the ego point is kept — the reference's min_distance filter is a
+    # world-frame norm (gvom.py:1064), and |ego| > min_distance here — and
+    # bins as a zero-length ray (hit, no passes)
+    assert hit.sum() == 3
+    assert (hit >= 0).all() and (miss >= 0).all()
+
+    keepable = np.concatenate([good, ego[None, :]], axis=0)
+    kp, km = synthetic.pad_scan(keepable, cfg.max_points)
+    ref_grid, _ = pipeline.ingest_scan(cfg, jnp.asarray(kp), jnp.asarray(km), jnp.asarray(ego))
+    np.testing.assert_array_equal(hit, np.asarray(ref_grid.hit))   # non-finite points change nothing
+    np.testing.assert_array_equal(miss, np.asarray(ref_grid.miss))
