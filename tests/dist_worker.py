@@ -11,6 +11,11 @@ Usage: python dist_worker.py <process_id> <num_processes> <port> <out.npz>
 import os
 import sys
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+for _p in (os.path.dirname(_HERE), _HERE):  # repo root (gvom_tpu pkg) + tests/ (helpers)
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
+
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
 ).strip()
