@@ -84,6 +84,16 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
     S must divide evenly over mesh.size; the grid y size over mesh.shape
     ['space']."""
 
+    # Resolve "auto" kernel choices against the MESH's devices, not the
+    # process default backend: a CPU dry-run mesh can coexist with a live TPU
+    # default backend (single-chip plugins force jax_platforms onto
+    # themselves at import), and pallas TPU kernels cannot lower for CPU
+    # mesh devices.
+    mesh_is_tpu = all(d.platform == "tpu" for d in mesh.devices.flat)
+    if raycast_impl == "auto" and not mesh_is_tpu:
+        raycast_impl = "xla"
+    binning_impl = "auto" if mesh_is_tpu else "xla"
+
     nsp = int(mesh.shape[SPACE_AXIS])
     Y = cfg.xy_size
     if Y % nsp != 0:
@@ -114,7 +124,8 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
         def ingest_one(carry, xs):
             pts, vmask, ego = xs
             g, ok = pipeline.ingest_scan(
-                cfg, pts, vmask, ego, None, raycast_impl, origin=origin
+                cfg, pts, vmask, ego, None, raycast_impl, origin=origin,
+                binning_impl=binning_impl,
             )
             dead = ~ok
             g = jax.tree_util.tree_map(lambda l: jnp.where(dead, jnp.zeros_like(l), l), g)
