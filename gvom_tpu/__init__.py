@@ -13,9 +13,14 @@ Public API:
                       want functional composition instead of the facade
 """
 
+import sys as _sys
+
 from gvom_tpu.config import GvomConfig
 from gvom_tpu.engine.gvom import Gvom
 from gvom_tpu import models as pipelines
+
+# make `import gvom_tpu.pipelines` work, not just attribute access
+_sys.modules[__name__ + ".pipelines"] = pipelines
 
 __version__ = "0.1.0"
 
