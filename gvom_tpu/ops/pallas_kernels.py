@@ -38,9 +38,12 @@ from gvom_tpu.ops import raycast as raycast_mod
 
 __all__ = ["use_fast_path", "ray_pass_counts_matmul"]
 
-_CHUNK = 1024  # rays per inner matmul; K-dim of the one-hot matmul
+_CHUNK = int(os.environ.get("GVOM_RAY_CHUNK", "1024"))
+             # rays per inner matmul; K-dim of the one-hot matmul
 
-_OH_IDX = jnp.int32  # index dtype of the one-hot equality compares (the
+_OH_IDX = {"int16": jnp.int16, "int32": jnp.int32}[
+    os.environ.get("GVOM_OH_IDX", "int32")]
+                     # index dtype of the one-hot equality compares (the
                      # [K, U] iota-vs-coordinate compares are the kernel's
                      # dominant VPU cost; int16 packs 2/lane)
 
@@ -114,8 +117,9 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int):
         n_sub = 2 if PAIRED else 1
         V = out_ref.shape[3] // n_sub
         K = n_sub * _CHUNK
-        iuf = jax.lax.broadcasted_iota(_OH_IDX, (K, UO), 1)
-        iv2 = jax.lax.broadcasted_iota(_OH_IDX, (K, n_sub * V), 1)
+        # build iotas in i32 then narrow: 16-bit iota is unsupported by Mosaic
+        iuf = jax.lax.broadcasted_iota(jnp.int32, (K, UO), 1).astype(_OH_IDX)
+        iv2 = jax.lax.broadcasted_iota(jnp.int32, (K, n_sub * V), 1).astype(_OH_IDX)
         rows = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
         half1 = rows >= _CHUNK               # second half ⇔ pair's odd group
         rin = rows % _CHUNK
@@ -452,7 +456,7 @@ def ray_pass_counts_matmul(
 # numerics (coords are O(1) in the target-local frame — the same conditioning
 # trick the reference uses at gvom.py:1205-1207).
 
-_PCHUNK = 1024
+_PCHUNK = int(os.environ.get("GVOM_MOM_CHUNK", "1024"))
 
 
 _XBLOCK = 2  # x-slices per grid instance (measured best on v5e: the kernel is
@@ -460,7 +464,8 @@ _XBLOCK = 2  # x-slices per grid instance (measured best on v5e: the kernel is
              # with a raised vmem limit measured ~6% slower than XB=2)
 
 
-_MOM_PRECISION = "f32"  # "f32": plain f32 dot_generals (Mosaic multi-pass).
+_MOM_PRECISION = os.environ.get("GVOM_MOM_PRECISION", "f32")
+                        # "f32": plain f32 dot_generals (Mosaic multi-pass).
                         # "split": hi/lo bf16 decomposition per inexact
                         # operand, dropping the lo*lo term — ~2^-16 relative
                         # error (far inside the parity tolerances); exact
