@@ -4,8 +4,15 @@ API parity with the reference class (gvom.py:12-410): the same constructor
 signature, `process_pointcloud`, `combine_maps`, `get_map_as_occupancy_grid`,
 and the three debug exporters. Under the hood everything is jitted pure
 functions over pytree state — the reference's per-slot semaphores
-(gvom.py:65-67) and ego semaphore (gvom.py:96) reduce to one host-side lock
-around the state-pointer swap, because device state is immutable.
+(gvom.py:65-67) and ego semaphore (gvom.py:96) reduce to host-side locks
+around the state-pointer swaps, because device state is immutable.
+
+Concurrency contract (matches the reference's, gvom.py:163-175, 198-208):
+sensor threads may ingest WHILE a combine is in flight. `_state_lock` guards
+only the pointer swaps (microseconds); `_combine_lock` serializes combines
+with each other. Combine snapshots (buffer, world) under the state lock,
+runs the device work and its host sync outside it, then swaps the world
+pointer back — ingest never waits on a device roundtrip.
 
 Unlike the reference there is no per-scan device→host sync (gvom.py:147's
 cell-count copy): degenerate scans are masked no-ops on device, and
@@ -25,6 +32,7 @@ from gvom_tpu.config import GvomConfig
 from gvom_tpu.models import pipeline
 from gvom_tpu.ops import moments
 from gvom_tpu.types import BufferState, WorldState, empty_buffer_state, empty_world_state
+from gvom_tpu.utils.metrics import StepMetrics
 
 __all__ = ["Gvom"]
 
@@ -73,13 +81,15 @@ class Gvom:
             config = GvomConfig().replace(**{k: v for k, v in kw.items() if v is not None})
         self.config = config.validate()
         self.raycast_impl = raycast_impl
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()          # state-pointer swaps only
+        self._combine_lock = threading.Lock()  # serializes combines w/ each other
         self._buffer: BufferState = empty_buffer_state(self.config)
         self._world: WorldState = empty_world_state(self.config)
         self._products = None
         self._products_ok = False
         self._scan_count = 0
         self.ego_position = np.zeros(3)
+        self.metrics = StepMetrics()
 
         cfg = self.config
         self._ingest_tf = jax.jit(
@@ -95,6 +105,15 @@ class Gvom:
         cap = self.config.max_points
         n = pc.shape[0]
         if n > cap:
+            # the reference processes every point (gvom.py:99-110); a static-
+            # shape engine must truncate — account for it loudly
+            dropped = n - cap
+            self.metrics.bump("points_truncated", dropped)
+            self.metrics.bump("scans_truncated")
+            print(
+                f"[WARNING] Scan has {n} points but max_points={cap}; "
+                f"dropping {dropped}. Raise GvomConfig.max_points to keep them."
+            )
             pc = pc[:cap]
             n = cap
         out = np.zeros((cap, 3), np.float32)
@@ -121,25 +140,36 @@ class Gvom:
                 buf, scan_ok = self._ingest_no_tf(self._buffer, jnp.asarray(pts), jnp.asarray(mask), ego)
             self._buffer = buf
             self._scan_count += 1
+        self.metrics.bump("scans_ingested")
         return scan_ok
 
     def combine_maps(self):
         """Fuse the buffer + previous map and return the five outputs
         (gvom.py:177-354): (origin_world, positive, negative, roughness,
-        visibility), or None when the buffer is empty."""
-        with self._lock:
-            if self._scan_count == 0:
-                print("[WARNING] The map buffer is empty, nothing will happen!")
-                return None
-            ego = jnp.asarray(self.ego_position.astype(np.float32))
-            world, products, ok = self._combine(self._buffer, self._world, ego)
-            ok_host = bool(ok)
+        visibility), or None when the buffer is empty.
+
+        Ingest stays live during the combine: the device work and its
+        `bool(ok)` host sync run OUTSIDE the state lock (the reference's
+        per-slot semaphores likewise let sensors fill other slots while
+        combine_maps iterates, gvom.py:198-208)."""
+        with self._combine_lock:
+            with self._lock:
+                if self._scan_count == 0:
+                    print("[WARNING] The map buffer is empty, nothing will happen!")
+                    return None
+                buf = self._buffer
+                world_in = self._world
+                ego = jnp.asarray(self.ego_position.astype(np.float32))
+            world, products, ok = self._combine(buf, world_in, ego)
+            ok_host = bool(ok)  # device roundtrip — deliberately lock-free
             if not ok_host:
                 print("[WARNING] The map buffer is empty, nothing will happen!")
                 return None
-            self._world = world
-            self._products = products
-            self._products_ok = True
+            with self._lock:
+                self._world = world
+                self._products = products
+                self._products_ok = True
+            self.metrics.bump("combines")
         cfg = self.config
         origin_world = products.origin_world(cfg)
         return (
@@ -250,7 +280,9 @@ class Gvom:
         return self._world
 
     def reset(self):
-        with self._lock:
+        # take the combine lock too so an in-flight combine can't swap a
+        # stale world back in after the reset
+        with self._combine_lock, self._lock:
             self._buffer = empty_buffer_state(self.config)
             self._world = empty_world_state(self.config)
             self._products = None
@@ -278,5 +310,5 @@ class Gvom:
                 f"checkpoint grid {tuple(world.grid.hit.shape)} does not match "
                 f"config grid {self.config.grid_shape}"
             )
-        with self._lock:
+        with self._combine_lock, self._lock:
             self._world = world

@@ -38,19 +38,44 @@ from gvom_tpu.ops import raycast as raycast_mod
 
 __all__ = ["use_fast_path", "ray_pass_counts_matmul"]
 
-_CHUNK = int(os.environ.get("GVOM_RAY_CHUNK", "1024"))
+def _env_chunk(name: str, default: str) -> int:
+    """Chunk sizes must be positive multiples of 128: the kernels rely on
+    pl.multiple_of alignment hints and chunk-aligned padding."""
+    raw = os.environ.get(name, default)
+    try:
+        v = int(raw)
+    except ValueError:
+        raise ValueError(f"{name}={raw!r}: must be an integer multiple of 128")
+    if v <= 0 or v % 128 != 0:
+        raise ValueError(f"{name}={raw!r}: must be a positive multiple of 128")
+    return v
+
+
+def _env_choice(name: str, default: str, allowed) -> str:
+    v = os.environ.get(name, default)
+    if v not in allowed:
+        raise ValueError(f"{name}={v!r}: must be one of {sorted(allowed)}")
+    return v
+
+
+_CHUNK = _env_chunk("GVOM_RAY_CHUNK", "1024")
              # rays per inner matmul; K-dim of the one-hot matmul
 
 _OH_IDX = {"int16": jnp.int16, "int32": jnp.int32}[
-    os.environ.get("GVOM_OH_IDX", "int32")]
+    _env_choice("GVOM_OH_IDX", "int32", ("int16", "int32"))]
                      # index dtype of the one-hot equality compares (the
                      # [K, U] iota-vs-coordinate compares are the kernel's
                      # dominant VPU cost; int16 packs 2/lane)
 
-_OH_VAL = jnp.int8   # value dtype of the raycast one-hot matmul operands
-                     # (0/1 is exact in every candidate dtype; counts
-                     # accumulate exactly in the 24-bit f32 significand —
-                     # K per matmul is far below 2^24)
+_OH_VAL = {"int8": jnp.int8, "bf16": jnp.bfloat16}[
+    _env_choice("GVOM_OH_VAL", "bf16", ("int8", "bf16"))]
+                     # value dtype of the raycast one-hot matmul operands.
+                     # 0/1 is exact in every candidate dtype and counts
+                     # accumulate exactly in the 24-bit f32 significand (K per
+                     # matmul is far below 2^24). bf16 is the default: v5e's
+                     # MXU takes bf16 natively, while int8 dot_generals lower
+                     # to VPU emulation under Mosaic (measured ~4× slower on
+                     # the far-tier histograms).
 
 _RAY_TIER64 = os.environ.get("GVOM_RAY_TIER64", "") == "1"  # opt-in mod-64
                      # near tier for raycast steps 1..31 (exactness pinned in
@@ -456,7 +481,7 @@ def ray_pass_counts_matmul(
 # numerics (coords are O(1) in the target-local frame — the same conditioning
 # trick the reference uses at gvom.py:1205-1207).
 
-_PCHUNK = int(os.environ.get("GVOM_MOM_CHUNK", "1024"))
+_PCHUNK = _env_chunk("GVOM_MOM_CHUNK", "1024")
 
 
 _XBLOCK = 2  # x-slices per grid instance (measured best on v5e: the kernel is
@@ -464,7 +489,7 @@ _XBLOCK = 2  # x-slices per grid instance (measured best on v5e: the kernel is
              # with a raised vmem limit measured ~6% slower than XB=2)
 
 
-_MOM_PRECISION = os.environ.get("GVOM_MOM_PRECISION", "f32")
+_MOM_PRECISION = _env_choice("GVOM_MOM_PRECISION", "f32", ("f32", "split"))
                         # "f32": plain f32 dot_generals (Mosaic multi-pass).
                         # "split": hi/lo bf16 decomposition per inexact
                         # operand, dropping the lo*lo term — ~2^-16 relative

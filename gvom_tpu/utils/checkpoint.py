@@ -24,24 +24,29 @@ _FIELDS = list(VoxelGrid._fields)
 
 
 def save_world(path: str, world: WorldState, cfg: Optional[GvomConfig] = None) -> str:
-    """Snapshot the world state. Uses orbax if importable, else .npz."""
+    """Snapshot the world state. Uses orbax if importable, else .npz.
+
+    The fallback fires ONLY when orbax itself is absent — a genuine orbax
+    save failure (disk full, interrupted write, sharding mismatch) raises
+    rather than silently writing a different artifact shape."""
     try:
         import orbax.checkpoint as ocp
-
+    except ImportError:
+        ocp = None
+    if ocp is not None:
         path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, {"grid": world.grid._asdict(), "valid": world.valid}, force=True)
         ckptr.wait_until_finished()
         return path
-    except Exception:
-        if not path.endswith(".npz"):
-            path = path + ".npz"
-        arrs = {f: np.asarray(getattr(world.grid, f)) for f in _FIELDS}
-        arrs["valid"] = np.asarray(world.valid)
-        if cfg is not None:
-            arrs["config_json"] = np.frombuffer(cfg.to_json().encode(), dtype=np.uint8)
-        np.savez_compressed(path, **arrs)
-        return path
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    arrs = {f: np.asarray(getattr(world.grid, f)) for f in _FIELDS}
+    arrs["valid"] = np.asarray(world.valid)
+    if cfg is not None:
+        arrs["config_json"] = np.frombuffer(cfg.to_json().encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrs)
+    return path
 
 
 def load_world(path: str) -> WorldState:

@@ -232,3 +232,32 @@ def test_node_debug_publish_channels(small_cfg):
     assert d.shape[1] == 8 and m["channels"][3] == "solid factor"
     d, m = got["debug/inferred_height_map"]
     assert d.shape == (X * X, 3) and m["channels"] == ["x", "y", "z"]
+
+
+def test_point_overflow_accounting(small_cfg, capsys):
+    """A scan beyond max_points is truncated LOUDLY (counter + warning) and
+    the kept prefix maps identically to feeding that prefix directly
+    (VERDICT round 1: silent truncation at engine/gvom.py:94-104)."""
+    from gvom_tpu.engine.gvom import Gvom
+
+    cfg = small_cfg
+    ego = np.array([0.3, -0.2, 1.5])
+    rng = np.random.default_rng(3)
+    big = (ego[None, :] + rng.normal(0, 3, (2 * cfg.max_points, 3))).astype(np.float32)
+
+    eng_full = Gvom(config=cfg, raycast_impl="xla")
+    eng_full.process_pointcloud(big, ego)
+    out_msg = capsys.readouterr().out
+    assert "dropping" in out_msg and str(cfg.max_points) in out_msg
+    snap = eng_full.metrics.snapshot()["counters"]
+    assert snap["points_truncated"] == cfg.max_points
+    assert snap["scans_truncated"] == 1
+    full = eng_full.combine_maps()
+
+    eng_prefix = Gvom(config=cfg, raycast_impl="xla")
+    eng_prefix.process_pointcloud(big[: cfg.max_points], ego)
+    assert "scans_truncated" not in eng_prefix.metrics.snapshot()["counters"]
+    prefix = eng_prefix.combine_maps()
+
+    for a, b in zip(full[1:], prefix[1:]):
+        np.testing.assert_array_equal(a, b)

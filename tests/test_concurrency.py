@@ -16,6 +16,58 @@ from gvom_tpu.engine.gvom import Gvom
 from gvom_tpu.io import synthetic
 
 
+def test_ingest_completes_while_combine_in_flight(small_cfg):
+    """The reference's per-slot semaphores let sensors ingest during a
+    combine (gvom.py:163-175, 198-208). The facade must preserve that:
+    combine's device work + host sync run outside the state lock.
+
+    Deterministic proof (no timing): combine is held open mid-flight by an
+    event that is only released AFTER an ingest completes — if ingest had to
+    wait for the combine (the round-1 behavior), this deadlocks and the
+    waits below time out."""
+    cfg = GvomConfig(
+        xy_size=small_cfg.xy_size,
+        z_size=small_cfg.z_size,
+        max_points=small_cfg.max_points,
+        buffer_size=4,
+    )
+    engine = Gvom(config=cfg, raycast_impl="xla")
+    terrain = synthetic.composite_terrain()
+    ego = np.array([0.3, -0.2, 1.5])
+    pts = synthetic.simulate_lidar_scan(terrain, ego, channels=16, azimuth_steps=48, max_range=20.0)
+    assert engine.process_pointcloud(pts, ego) is not None
+
+    orig = engine._combine
+    in_combine = threading.Event()
+    release = threading.Event()
+
+    def slow_combine(buf, world, ego_j):
+        out = orig(buf, world, ego_j)
+        in_combine.set()
+        assert release.wait(timeout=120), "combine never released"
+        return out
+
+    engine._combine = slow_combine
+    result = {}
+    t = threading.Thread(target=lambda: result.setdefault("out", engine.combine_maps()))
+    t.start()
+    try:
+        assert in_combine.wait(timeout=120), "combine never reached device work"
+        # combine is mid-flight and will stay there until release.set() —
+        # ingest must still complete
+        ego2 = ego + np.array([0.3, 0.15, 0.0])
+        pts2 = synthetic.simulate_lidar_scan(
+            terrain, ego2, channels=16, azimuth_steps=48, max_range=20.0, seed=1
+        )
+        ok = engine.process_pointcloud(pts2, ego2)
+        assert ok is not None
+    finally:
+        release.set()
+        t.join(timeout=120)
+    assert not t.is_alive()
+    assert result["out"] is not None
+
+
 def test_two_sensors_and_timer(small_cfg):
     cfg = GvomConfig(
         xy_size=small_cfg.xy_size,
