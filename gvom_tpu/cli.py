@@ -34,6 +34,25 @@ def cmd_replay(args):
         print(json.dumps({"mode": "batched", "scans": len(log), "batches": len(products), **metrics.snapshot()}, default=float))
 
 
+def cmd_convert_bag(args):
+    from gvom_tpu.io.logio import save_log
+    from gvom_tpu.io.rosbag import bag_to_scanlog
+
+    tf = None
+    if args.transform is not None:
+        tf = np.loadtxt(args.transform).reshape(-1, 4)
+    log = bag_to_scanlog(
+        args.bag, cloud_topic=args.cloud_topic, odom_topic=args.odom_topic,
+        transform=tf, max_scans=args.max_scans,
+    )
+    save_log(args.out, log)
+    pts = [len(p) for p, _, _ in log]
+    print(json.dumps({
+        "bag": args.bag, "out": args.out, "scans": len(log),
+        "points_min": min(pts) if pts else 0, "points_max": max(pts) if pts else 0,
+    }))
+
+
 def cmd_parity(args):
     import jax
 
@@ -107,6 +126,16 @@ def main(argv=None):
     rp.add_argument("--channels", type=int, default=64)
     rp.add_argument("--azimuth", type=int, default=1024)
     rp.set_defaults(fn=cmd_replay)
+
+    cb = sub.add_parser("convert-bag", help="rosbag → .npz ScanLog (no ROS needed)")
+    cb.add_argument("bag")
+    cb.add_argument("out")
+    cb.add_argument("--cloud-topic", default=None)
+    cb.add_argument("--odom-topic", default=None)
+    cb.add_argument("--max-scans", type=int, default=None)
+    cb.add_argument("--transform", default=None,
+                    help="optional 3x4/4x4 sensor→odom matrix file (np.loadtxt)")
+    cb.set_defaults(fn=cmd_convert_bag)
 
     pp = sub.add_parser("parity", help="engine vs oracle parity report")
     pp.add_argument("--scans", type=int, default=5)

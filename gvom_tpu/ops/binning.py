@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from gvom_tpu.config import GvomConfig
 from gvom_tpu.ops import grid as gridops
 
-__all__ = ["PointBins", "prepare_points", "bin_points", "moment_pad"]
+__all__ = ["PointBins", "prepare_points", "bin_points", "moment_pad", "slab_point_moments"]
 
 _PAIRS = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
 

@@ -60,6 +60,14 @@ def _env_choice(name: str, default: str, allowed) -> str:
 
 _CHUNK = _env_chunk("GVOM_RAY_CHUNK", "1024")
              # rays per inner matmul; K-dim of the one-hot matmul
+_CHUNK_FAR = _env_chunk("GVOM_RAY_CHUNK_FAR", "1024")
+             # chunk for the far-step tier + z groups, whose live counts per
+             # (group, step) are far below _CHUNK. Matmul wall scales with
+             # rows streamed, so padding rows are waste there — but Mosaic
+             # requires 1-D dynamic VMEM slices to be provably 1024-aligned
+             # (8 sublanes × 128 lanes), so sub-1024 chunks fail to compile
+             # on v5e ("cannot statically prove index is a multiple of 1024");
+             # the knob exists for targets that lift that constraint.
 
 _OH_IDX = {"int16": jnp.int16, "int32": jnp.int32}[
     _env_choice("GVOM_OH_IDX", "int32", ("int16", "int32"))]
@@ -99,7 +107,7 @@ _SBLOCK_Z = 22   # instance AND per separate step-body (measured on v5e), so
                  # a few MB (vmem_limit_bytes raised above the 16 MB default).
 
 
-def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int):
+def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int, CHUNK: int):
     def kernel(meta_ref, startuv_ref, su_ref, sv_ref, out_ref, aj_ref, ac_ref):
         """One (group-pair, step-block) instance.
 
@@ -141,13 +149,13 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int):
         UO = out_ref.shape[2]
         n_sub = 2 if PAIRED else 1
         V = out_ref.shape[3] // n_sub
-        K = n_sub * _CHUNK
+        K = n_sub * CHUNK
         # build iotas in i32 then narrow: 16-bit iota is unsupported by Mosaic
         iuf = jax.lax.broadcasted_iota(jnp.int32, (K, UO), 1).astype(_OH_IDX)
         iv2 = jax.lax.broadcasted_iota(jnp.int32, (K, n_sub * V), 1).astype(_OH_IDX)
         rows = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
-        half1 = rows >= _CHUNK               # second half ⇔ pair's odd group
-        rin = rows % _CHUNK
+        half1 = rows >= CHUNK               # second half ⇔ pair's odd group
+        rin = rows % CHUNK
         npad = su_ref.shape[0]
         if PAIRED:
             g0, g1 = 2 * a, 2 * a + 1
@@ -199,15 +207,15 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int):
             voff = sel(jnp.int32(0), jnp.int32(V))
             # clamp: the pair iterates to max(nchunks) — the smaller group's
             # base must stay in bounds (lanes masked dead)
-            base0 = pl.multiple_of(jnp.minimum(ab0 + c * _CHUNK, npad - _CHUNK), _CHUNK)
+            base0 = pl.multiple_of(jnp.minimum(ab0 + c * CHUNK, npad - CHUNK), CHUNK)
             if PAIRED:
-                base1 = pl.multiple_of(jnp.minimum(ab1 + c * _CHUNK, npad - _CHUNK), _CHUNK)
-                su = jnp.concatenate([su_ref[pl.ds(base0, _CHUNK)], su_ref[pl.ds(base1, _CHUNK)]])
-                sv = jnp.concatenate([sv_ref[pl.ds(base0, _CHUNK)], sv_ref[pl.ds(base1, _CHUNK)]])
+                base1 = pl.multiple_of(jnp.minimum(ab1 + c * CHUNK, npad - CHUNK), CHUNK)
+                su = jnp.concatenate([su_ref[pl.ds(base0, CHUNK)], su_ref[pl.ds(base1, CHUNK)]])
+                sv = jnp.concatenate([sv_ref[pl.ds(base0, CHUNK)], sv_ref[pl.ds(base1, CHUNK)]])
                 gi = jnp.where(half1, base1, base0) + rin
             else:
-                su = su_ref[pl.ds(base0, _CHUNK)]
-                sv = sv_ref[pl.ds(base0, _CHUNK)]
+                su = su_ref[pl.ds(base0, CHUNK)]
+                sv = sv_ref[pl.ds(base0, CHUNK)]
                 gi = base0 + rin
             u = jnp.floor(start_u + sf * su).astype(jnp.int32)
             v = jnp.floor(start_v + sf * sv).astype(jnp.int32)
@@ -236,7 +244,7 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int):
 
 
 def _run_hist(meta, startuv, su, sv, G, S, U, V, interpret=False, paired=True,
-              SB=_SBLOCK_XY, u_mod=None, s_off=0):
+              SB=_SBLOCK_XY, u_mod=None, s_off=0, chunk=_CHUNK):
     """Histograms for steps s_off+1 .. s_off+S (meta is indexed by absolute
     step). u_mod, when set, is the mod-UO windowed column count — valid only
     for steps with 2s+1 ≤ u_mod − 2 (caller's responsibility)."""
@@ -247,7 +255,7 @@ def _run_hist(meta, startuv, su, sv, G, S, U, V, interpret=False, paired=True,
     n_sub = 2 if paired else 1
     n_inst = G // n_sub
     out = pl.pallas_call(
-        _hist_kernel_factory(SB, paired, U, s_off),
+        _hist_kernel_factory(SB, paired, U, s_off, chunk),
         grid=(n_inst, S_pad // SB),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -364,13 +372,13 @@ def ray_pass_counts_matmul(
         ],
         axis=0,
     )
-    def build_meta(groups):
+    def build_meta(groups, chunk=_CHUNK):
         m = []
         for g in groups:
             off = jnp.broadcast_to(offsets[g], (S,))
             cnts = live_gs[g, 1:]                        # live rays at step s (s=1..S)
-            abase = (off // _CHUNK) * _CHUNK             # aligned window start
-            nchunks = (off + cnts - abase + _CHUNK - 1) // _CHUNK
+            abase = (off // chunk) * chunk               # aligned window start
+            nchunks = (off + cnts - abase + chunk - 1) // chunk
             ok = rows_ok[g].astype(jnp.int32)
             m.append(jnp.stack([abase, nchunks, off, cnts, ok], axis=1))
         meta = jnp.stack(m, axis=0)                       # [G, S, 5]
@@ -412,16 +420,21 @@ def ray_pass_counts_matmul(
             parts.append(tiled * in_win[..., None].astype(jnp.float32))
         s_done = tiers[-1][2]
         if S > s_done:
-            parts.append(_run_hist(meta_xy, startuv[:4], su_s, sv_s, 4, S - s_done, X, Z,
-                                   interpret, paired=True, SB=_SBLOCK_XY, s_off=s_done))
+            # far steps: few live rays per (group, step) — a smaller chunk
+            # cuts the rows streamed through the MXU ~4× (padding waste)
+            meta_far = build_meta([0, 1, 2, 3], chunk=_CHUNK_FAR)
+            parts.append(_run_hist(meta_far, startuv[:4], su_s, sv_s, 4, S - s_done, X, Z,
+                                   interpret, paired=True, SB=_SBLOCK_XY, s_off=s_done,
+                                   chunk=_CHUNK_FAR))
         hist_xy = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     else:
         hist_xy = _run_hist(meta_xy, startuv[:4], su_s, sv_s, 4, S, X, Z, interpret, paired=True, SB=_SBLOCK_XY)
 
     # --- z-dominant kernel: groups 4..5, hist over (x, y) ---
-    meta_z = build_meta([4, 5])
+    meta_z = build_meta([4, 5], chunk=_CHUNK_FAR)
     Sz = min(S, Z + 2)
-    hist_z = _run_hist(meta_z[:, : Sz + 1], startuv[4:], su_s, sv_s, 2, Sz, X, Y, interpret, paired=False, SB=_SBLOCK_Z)
+    hist_z = _run_hist(meta_z[:, : Sz + 1], startuv[4:], su_s, sv_s, 2, Sz, X, Y,
+                       interpret, paired=False, SB=_SBLOCK_Z, chunk=_CHUNK_FAR)
 
     # --- placement: one-hot matmul over the step axis (exact, no scatter) ---
     out = jnp.zeros((X, Y, Z), jnp.float32)
@@ -474,19 +487,40 @@ def ray_pass_counts_matmul(
 # sort key, so each voxel run's FIRST point carries the voxel's minimum z
 # (the reference's atomic.min at gvom.py:1329). Gating the minh channel on
 # a first-of-run flag makes its "sum" have exactly one nonzero term per
-# voxel = the min — an extra matmul instead of a 5 ms scatter-min. Id-major
-# sorting preserves x-slice contiguity, so the worklist layout is unchanged:
-# a slice's contributing points (|u_x − x| ≤ r_x) are a contiguous range.
+# voxel = the min — an extra matmul instead of a 5 ms scatter-min.
 # f32 one-hot/ramp factors with f32 MXU accumulation keep the reference's
 # numerics (coords are O(1) in the target-local frame — the same conditioning
 # trick the reference uses at gvom.py:1205-1207).
+#
+# The ±r_x X-NEIGHBORHOOD IS NOT IN THE KERNEL: each x-slice's matmuls run
+# over exactly that slice's points (K = points-in-slice, not the 3× window),
+# with x-moments taken about the SOURCE slice. The x-box then lands as a
+# shift+translate post-pass over the packed output (moments.translate_raw's
+# parallel-axis identity specialized to the packed slot layout in
+# _xbox_translate_packed) — one fused elementwise XLA pass over ~200 MB
+# instead of (2r_x+1)× the matmul FLOPs.
 
 _PCHUNK = _env_chunk("GVOM_MOM_CHUNK", "1024")
 
 
-_XBLOCK = 2  # x-slices per grid instance (measured best on v5e: the kernel is
-             # f32-MXU-bound, so larger blocks only grow VMEM pressure — XB=6
-             # with a raised vmem limit measured ~6% slower than XB=2)
+def _env_int(name: str, default: str, lo: int, hi: int) -> int:
+    raw = os.environ.get(name, default)
+    try:
+        v = int(raw)
+    except ValueError:
+        raise ValueError(f"{name}={raw!r}: must be an integer in [{lo}, {hi}]")
+    if not (lo <= v <= hi):
+        raise ValueError(f"{name}={raw!r}: must be an integer in [{lo}, {hi}]")
+    return v
+
+
+_XBLOCK = _env_int("GVOM_MOM_XB", "2", 1, 8)
+             # W: x-slices per grid instance AND per matmul block — the A side
+             # is [K, W·U] with the slice selected per point row by the
+             # mixed-radix key (see _moment_kernel_factory). Larger W shares
+             # each streamed chunk row across more slices (less chunk-padding
+             # waste, the kernel's real bound) at the price of W× wider
+             # A-side VPU temporaries and out/accumulator VMEM.
 
 
 _MOM_PRECISION = _env_choice("GVOM_MOM_PRECISION", "f32", ("f32", "split"))
@@ -504,62 +538,70 @@ _NPACK = 6  # packed matmul results per x-slice (see _moment_slice):
             # factors), slot 5 = minh | hit
 
 
-def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, XB: int, Y: int, Z: int):
+_MOM_RADIX = 1 << 12  # mixed-radix stride of the fused (x-slice, y) one-hot
+                      # keys; must exceed the padded window y extent
+
+
+def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, W: int, Y: int, Z: int):
+    """One instance owns W consecutive x-slices and runs ONE matmul ladder
+    whose A side is [K, W·U]: column block w targets slice xbase+w. A point
+    row self-selects its block through a mixed-radix key compare
+    (key = ux·RADIX + uy_window vs per-column (x, y) targets), so the
+    y-window one-hot costs the same ops as the plain per-slice one — and the
+    worklist's chunk windows cover W slices' points at once, cutting the
+    matmul rows streamed (the kernel's real bound) by ~W× of the per-slice
+    chunk-padding waste. Rows outside the instance's slices mask themselves
+    out through the key (wrong x ⇒ |Δkey| ≥ RADIX), so no first/count
+    liveness test exists at all."""
+
     def kernel(meta_ref, org_ref, px_ref, py_ref, pz_ref, mh_ref, out_ref):
         xb = pl.program_id(0)
+        xbase = xb * W
         # torus one-hot targets (built once per instance): column c holds the
-        # voxel whose torus index is c; its padded-window coordinate is
-        # ((c − o) mod size) + r. The z axis is laid out as TWO factor halves
-        # (columns [0,Z) and [Z,2Z) address the same voxels — the B matrices
-        # pack two z-factors side by side so every matmul runs at N = 2Z with
-        # no dead columns); columns ≥ 2Z never match.
+        # voxel whose torus y index is c mod U in slice xbase + c//U; its
+        # padded-window y coordinate is ((c mod U − o) mod Y) + ry. The z axis
+        # is laid out as TWO factor halves (columns [0,Z) and [Z,2Z) address
+        # the same voxels — the B matrices pack two z-factors side by side so
+        # every matmul runs at N = 2Z with no dead columns); columns ≥ 2Z
+        # never match (sentinel).
         oy = org_ref[0, 1]
         oz = org_ref[0, 2]
-        yio_raw = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, U), 1)
-        yio = ((yio_raw - oy) % Y + ry).astype(_OH_IDX)
+        col = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, W * U), 1)
+        ywin = (col % U - oy) % Y + ry
+        keyc = (xbase + col // U) * _MOM_RADIX + ywin
+        ywin_f = ywin.astype(jnp.float32)
         zio_raw = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, V), 1)
         zc = zio_raw % Z
-        # pad-column sentinel: any value beyond the padded grid works (fits
-        # int16 so the one-hot compares can run at 2 elements/lane)
-        zio = jnp.where(zio_raw < 2 * Z, (zc - oz) % Z + rz, jnp.int32(1 << 14)).astype(_OH_IDX)
+        zio = jnp.where(zio_raw < 2 * Z, (zc - oz) % Z + rz, jnp.int32(1 << 14))
         fid1 = (zio_raw >= Z) & (zio_raw < 2 * Z)      # second factor half
-        for j in range(XB):
-            _moment_slice(cfg, U, V, ry, rz, x=xb * XB + j, j=j, meta_ref=meta_ref,
-                          px_ref=px_ref, py_ref=py_ref, pz_ref=pz_ref, mh_ref=mh_ref,
-                          out_ref=out_ref, yio=yio, zio=zio, fid1=fid1)
+        zio_f = zio.astype(jnp.float32)
 
-    return kernel
+        abase = meta_ref[xb, 0]
+        nchunks = meta_ref[xb, 1]
+        count = meta_ref[xb, 2]
+        npad = px_ref.shape[0]
 
-
-def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, mh_ref, out_ref, yio, zio, fid1):
-        abase = meta_ref[x, 0]
-        nchunks = meta_ref[x, 1]
-        first = meta_ref[x, 2]
-        count = meta_ref[x, 3]
-        for i in range(_NPACK):
-            out_ref[j, i] = jnp.zeros((U, V), jnp.float32)
+        for w in range(W):
+            for i in range(_NPACK):
+                out_ref[w, i] = jnp.zeros((U, V), jnp.float32)
 
         @pl.when(count > 0)
         def _():
-            xf = x * 1.0
-
             def body(c, accs):
-                base = pl.multiple_of(abase + c * _PCHUNK, _PCHUNK)
+                base = pl.multiple_of(
+                    jnp.minimum(abase + c * _PCHUNK, npad - _PCHUNK), _PCHUNK
+                )
                 px = px_ref[pl.ds(base, _PCHUNK)]
                 py = py_ref[pl.ds(base, _PCHUNK)]
                 pz = pz_ref[pl.ds(base, _PCHUNK)]
-                gi = base + jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, 1), 0)[:, 0]
-                valid = (gi >= first) & (gi < first + count)
-                xr = px - xf
                 ux = jnp.floor(px).astype(jnp.int32)
-                uy = jnp.floor(py).astype(_OH_IDX)
-                uz = jnp.floor(pz).astype(_OH_IDX)
+                uy = jnp.floor(py).astype(jnp.int32)
+                uz = jnp.floor(pz).astype(jnp.int32)
+                keyp = ux * _MOM_RADIX + uy            # [K]; dead points'
+                # sentinel coords make the key negative ⇒ never matches
+                xr = px - ux.astype(jnp.float32)       # exact own-slice offset
 
-                # bool minor-dim inserts are unsupported on TPU vregs; promote
-                # the per-point mask to f32 before broadcasting
-                validf = valid.astype(jnp.float32)
-                dy = py[:, None] - yio.astype(jnp.float32)
-                dz = pz[:, None] - zio.astype(jnp.float32)
+                dz = pz[:, None] - zio_f
                 wzv = (jnp.abs(uz[:, None] - zio) <= rz).astype(jnp.float32)
                 hitz = (uz[:, None] == zio).astype(jnp.float32)
                 # packed B factors (lo half | hi half):
@@ -571,8 +613,9 @@ def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, mh_
                 b2h = jnp.where(fid1, dz * dz * wzv, 0.0)
                 bm = jnp.where(fid1, 0.0, hitz)
                 bh = hitz - bm
-                wy = (jnp.abs(uy[:, None] - yio) <= ry).astype(jnp.float32) * validf[:, None]
-                hxf = ((ux == x) & valid).astype(jnp.float32)
+                kd = keyp[:, None] - keyc
+                wy = (jnp.abs(kd) <= ry).astype(jnp.float32)   # same slice ∧ |Δy| ≤ ry
+                dy = py[:, None] - ywin_f
 
                 def mm(a, b):
                     return jax.lax.dot_general(
@@ -607,7 +650,7 @@ def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, mh_
                     mm_ee = mm_ie = mm_ei = mm_ii = mm
 
                 # A-side matrices are built immediately before their matmuls so
-                # only ~2 of the [CHUNK, U] f32 temporaries are live at a time
+                # only ~2 of the [CHUNK, W·U] f32 temporaries are live at a time
                 # (VMEM budget; see the scoped-vmem OOM note in git history)
                 r0 = mm_ei(wy, b1)                    # n | sz
                 r4 = mm_ei(wy, b2h)                   # _ | zz
@@ -621,17 +664,55 @@ def _moment_slice(cfg, U, V, ry, rz, x, j, meta_ref, px_ref, py_ref, pz_ref, mh_
                 r3 = r3 + mm_ie(xry, b_hi)            # xx | xy
                 ramp2y = dy * rampy
                 r4 = r4 + mm_ie(ramp2y, b_lo)         # yy | zz
-                hity = (uy[:, None] == yio).astype(jnp.float32) * hxf[:, None]
+                hity = (kd == 0).astype(jnp.float32)  # exact (slice, y) match
                 mh = mh_ref[pl.ds(base, _PCHUNK)]     # first-of-run flag · fz
                 r5 = mm_ie(hity * mh[:, None], bm) + mm_ee(hity, bh)   # minh | hit
                 # VoxelGrid.mom slot order: n|sz, sx|xz, sy|yz, xx|xy, yy|zz
                 prods = (r0, r1, r2, r3, r4, r5)
                 return tuple(a + p for a, p in zip(accs, prods))
 
-            init = tuple(jnp.zeros((U, V), jnp.float32) for _ in range(_NPACK))
+            init = tuple(jnp.zeros((W * U, V), jnp.float32) for _ in range(_NPACK))
             accs = jax.lax.fori_loop(0, nchunks, body, init)
-            for i, a in enumerate(accs):
-                out_ref[j, i, :, :] = a
+            for w in range(W):
+                for i in range(_NPACK):
+                    out_ref[w, i] = accs[i][w * U : (w + 1) * U, :]
+
+    return kernel
+
+
+def _xbox_translate_packed(out: jnp.ndarray, rx: int, Z: int) -> jnp.ndarray:
+    """Box-aggregate the per-slice exact moments over the ±rx x-neighborhood.
+
+    `out` is the kernel's [Xp, _NPACK, U, V] packed per-slice output with
+    x-moments about the SOURCE slice. Target slice x receives source slice
+    x+d (d ∈ [−rx, rx]) with coordinates translated by +d along x
+    (moments.translate_raw, t=d), specialized to the packed slot halves:
+
+      slot0 (n |sz): unchanged          slot2 (sy|yz): unchanged
+      slot1 (sx|xz): += d·slot0         slot4 (yy|zz): unchanged
+      slot3 (xx|xy): lo += 2d·slot1ᴸ + d²·slot0ᴸ ; hi += d·slot2ᴸ
+      slot5 (minh|hit): endpoint-only — NOT box-aggregated (d=0 term only).
+    """
+    from gvom_tpu.ops.moments import _shifted
+
+    s = [out[:, i] for i in range(_NPACK)]
+    acc = [s[0], s[1], s[2], s[3], s[4]]
+    V = out.shape[-1]
+    pad = V - 2 * Z
+    for d in range(-rx, rx + 1):
+        if d == 0:
+            continue
+        t0, t1, t2, t3, t4 = (_shifted(s[i], d, 0) for i in range(5))
+        df = float(d)
+        acc[0] = acc[0] + t0
+        acc[1] = acc[1] + t1 + df * t0
+        acc[2] = acc[2] + t2
+        add3 = [2.0 * df * t1[..., :Z] + (df * df) * t0[..., :Z], df * t2[..., :Z]]
+        if pad:
+            add3.append(jnp.zeros(t0.shape[:-1] + (pad,), t0.dtype))
+        acc[3] = acc[3] + t3 + jnp.concatenate(add3, axis=-1)
+        acc[4] = acc[4] + t4
+    return jnp.stack(acc + [s[5]], axis=1)
 
 
 def fused_point_moments(
@@ -694,7 +775,9 @@ def fused_point_moments(
     pz_s = jnp.pad(pz_s, (0, padn), constant_values=-big)
     mhval = jnp.pad(mhval, (0, padn))
 
-    # per-x-voxel counts -> cumulative offsets -> per-slice ranges
+    # per-x-voxel counts -> cumulative offsets -> per-INSTANCE chunk windows
+    # (an instance covers W slices in one matmul ladder; the ±rx box is the
+    # post-pass below, not a wider worklist window)
     key_s = vid_s // (Yp * Zp)                     # back to x-slice keys
     ohx = (key_s[:, None] == jnp.arange(Xp + 1)[None, :]).astype(jnp.bfloat16)
     cnt = jax.lax.dot_general(
@@ -702,21 +785,22 @@ def fused_point_moments(
         preferred_element_type=jnp.float32,
     )[:, 0].astype(jnp.int32)                      # [Xp+1]
     cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])  # cum[x] = #(ux < x)
-    xs = jnp.arange(Xp)
-    lo = cum[jnp.maximum(xs - rx, 0)]
-    hi = cum[jnp.minimum(xs + rx, Xp - 1) + 1]
-    count = hi - lo
+
+    W = _XBLOCK
+    if Yp >= _MOM_RADIX:
+        raise ValueError("padded y extent too large for the slice-key radix")
+    Xp_pad = ((Xp + W - 1) // W) * W
+    n_inst = Xp_pad // W
+    xb = jnp.arange(n_inst)
+    lo = cum[jnp.minimum(xb * W, Xp)]
+    hi = cum[jnp.minimum((xb + 1) * W, Xp)]
     abase = (lo // _PCHUNK) * _PCHUNK
     nchunks = (hi - abase + _PCHUNK - 1) // _PCHUNK
-    meta = jnp.stack([abase, nchunks, lo, count], axis=1)  # [Xp, 4]
-
-    XB = _XBLOCK
-    Xp_pad = ((Xp + XB - 1) // XB) * XB
-    meta = jnp.pad(meta, ((0, Xp_pad - Xp), (0, 0)))
+    meta = jnp.stack([abase, nchunks, hi - lo], axis=1)   # [n_inst, 3]
     org = origin.astype(jnp.int32)[None, :]
     out = pl.pallas_call(
-        _moment_kernel_factory(cfg, U, V, ry, rz, XB, Y, Z),
-        grid=(Xp_pad // XB,),
+        _moment_kernel_factory(cfg, U, V, ry, rz, W, Y, Z),
+        grid=(n_inst,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -725,12 +809,16 @@ def fused_point_moments(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((XB, _NPACK, U, V), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((W, _NPACK, U, V), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Xp_pad, _NPACK, U, V), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(meta, org, px_s, py_s, pz_s, mhval)
 
+    # x-box aggregation: shift+translate over the per-slice exact output
+    # (slots 0..4; slot 5 is endpoint-only and stays d=0)
+    if rx > 0:
+        out = _xbox_translate_packed(out, rx, Z)
     # rows: crop x padding (window layout); y/z columns are already torus.
     # Slots 0..4 ARE the packed VoxelGrid.mom layout — no lane-half splitting
     # (that repacking measured ~5 ms/step); only slot 5 (minh | hit) is split,

@@ -62,6 +62,10 @@ class GvomRosNode:
                 "freq": get("~freq", 10.0),
                 "xy_eigen_dist": get("~xy_eigen_dist", 1),
                 "z_eigen_dist": get("~z_eigen_dist", 1),
+                # TPU-build extension (no reference equivalent): static
+                # per-scan point capacity — size to the sensor (OS1-128
+                # default; scans beyond it warn and truncate)
+                "max_points": get("~max_points", 131072),
             }
         )
         self.node = VoxelMapperNode(config=cfg, publisher=self._publish)
