@@ -30,7 +30,10 @@ def main():
             raise argparse.ArgumentTypeError("must be a positive integer")
         return iv
 
-    ap.add_argument("--steps", type=positive_int, default=16, help="scans per timed jit call")
+    ap.add_argument("--steps", type=positive_int, default=64,
+                    help="scans per timed jit call (the axon tunnel adds ~36 ms "
+                         "fixed dispatch per call; 64 steps amortize it to <1 ms/scan "
+                         "— the steady-state number a resident deployment sees)")
     ap.add_argument("--mode", default="perscan",
                     choices=["perscan", "batched", "combine", "async", "scaling"],
                     help="perscan: one combine per scan (reference contract); "
@@ -184,10 +187,9 @@ def _run_combine(args, cfg, scans, masks, egos, n_distinct):
 
     buf = empty_buffer_state(cfg)
     world = empty_world_state(cfg)
+    ing = jax.jit(lambda b, p, m, e: pipeline.ingest_and_insert(cfg, b, p, m, e, None, args.raycast))
     for i in range(cfg.buffer_size):
-        buf, _ = pipeline.ingest_and_insert(cfg, buf, scans[i % n_distinct],
-                                            masks[i % n_distinct], egos[i % n_distinct],
-                                            None, args.raycast)
+        buf, _ = ing(buf, scans[i % n_distinct], masks[i % n_distinct], egos[i % n_distinct])
     ego = egos[(cfg.buffer_size - 1) % n_distinct]
 
     def step(carry, i):
@@ -313,6 +315,27 @@ def _run_async(args, cfg, terrain):
     print(json.dumps(result))
 
 
+def _batched_ray_budget(cfg, B):
+    """Static DDA budget for the bench's batched modes: centered bound + the
+    worst in-batch ego drift. The bench advances egos 0.02/0.01 m per scan
+    within a batch (see the step functions), so the drift from the batch's
+    last scan is (B−1)·0.02 m — the same bound engine.replay.batched_replay
+    derives from a real log's egos."""
+    import dataclasses
+    import math
+
+    if cfg.ray_steps_override is not None:
+        return cfg
+    drift_vox = (B - 1) * 0.02 / min(cfg.xy_resolution, cfg.z_resolution)
+    return dataclasses.replace(
+        cfg,
+        ray_steps_override=min(
+            max(cfg.xy_size, cfg.z_size) // 2 + 6 + int(math.ceil(drift_vox)),
+            max(cfg.xy_size, cfg.z_size) + 4,
+        ),
+    )
+
+
 def _run_batched(args, cfg, scans, masks, egos, n_distinct):
     """BASELINE config #4 (single host): a batch of B (scan, ego) pairs per
     step into the sharded world grid, ONE combine + map derivation per step —
@@ -328,6 +351,7 @@ def _run_batched(args, cfg, scans, masks, egos, n_distinct):
 
     B = args.batch
     mesh = make_mesh(jax.devices()[:1])
+    cfg = _batched_ray_budget(cfg, B)
     bstep = make_batched_step(cfg, mesh, raycast_impl=args.raycast)
 
     reps = jnp.arange(B, dtype=jnp.int32) % n_distinct
@@ -396,6 +420,13 @@ def _run_scaling(args, cfg, scans, masks, egos, n_distinct):
     all_dev = jax.devices()
     if args.devices:
         counts = [int(c) for c in args.devices.split(",")]
+        bad = [c for c in counts if c > len(all_dev) or c < 1]
+        if bad:
+            raise SystemExit(
+                f"--devices {bad} exceed the {len(all_dev)} visible device(s); "
+                f"use --cpu with XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                f"for a virtual mesh"
+            )
     else:
         counts = []
         c = 1
@@ -408,8 +439,8 @@ def _run_scaling(args, cfg, scans, masks, egos, n_distinct):
     per_count = {}
     for ndev in counts:
         mesh = make_mesh(all_dev[:ndev])
-        bstep = make_batched_step(cfg, mesh, raycast_impl=args.raycast)
         B = args.batch * ndev
+        bstep = make_batched_step(_batched_ray_budget(cfg, B), mesh, raycast_impl=args.raycast)
         reps = jnp.arange(B, dtype=jnp.int32) % n_distinct
         bscans = scans[reps]
         bmasks = masks[reps]

@@ -73,6 +73,26 @@ def batched_replay(
 
     if mesh is None:
         mesh = make_mesh()
+    if cfg.ray_steps_override is None:
+        # Each batch rasterizes at its LAST scan's origin, so the static DDA
+        # budget needs only the centered bound plus the worst in-batch ego
+        # drift (in voxels) — far below the any-in-grid bound the sharded
+        # step would otherwise assume. Known statically from the log.
+        import dataclasses
+
+        egos = np.stack([np.asarray(e, np.float64) for _, e, _ in log])
+        res = np.array([cfg.xy_resolution, cfg.xy_resolution, cfg.z_resolution])
+        drift = 0.0
+        for b0 in range(0, len(egos), batch_size):
+            eb = egos[b0 : b0 + batch_size]
+            drift = max(drift, float((np.abs(eb - eb[-1]) / res).max()))
+        cfg = dataclasses.replace(
+            cfg,
+            ray_steps_override=min(
+                max(cfg.xy_size, cfg.z_size) // 2 + 6 + int(np.ceil(drift)),
+                max(cfg.xy_size, cfg.z_size) + 4,
+            ),
+        )
     step = make_batched_step(cfg, mesh, raycast_impl)
     if resume_from is not None:
         from gvom_tpu.utils.checkpoint import load_world

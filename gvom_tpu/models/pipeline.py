@@ -57,6 +57,7 @@ def ingest_scan(
     raycast_impl: str = "auto",
     origin: Optional[jnp.ndarray] = None,
     binning_impl: str = "auto",
+    y_window=None,
 ) -> Tuple[VoxelGrid, jnp.ndarray]:
     """One scan → dense voxel map. Returns (grid, scan_ok).
 
@@ -64,15 +65,19 @@ def ingest_scan(
     reference drops such scans without buffering them (gvom.py:148-150).
     `origin` pins the map frame (batched replay rasterizes all scans into a
     common frame); default is the reference's ego-centered origin.
+    `y_window` = (ys0, Ys) restricts every accumulated array to that torus
+    y-slab (the spatially sharded ingest; XLA paths only) — all grid arrays
+    come back [X, Ys, Z]-shaped and scan_ok refers to the slab.
     """
     ego = ego_position.astype(jnp.float32)
     p, keep = binning.prepare_points(cfg, points, valid, ego, transform)
     if origin is None:
         origin = gridops.compute_origin(cfg, ego)
-    passes = raycast.ray_pass_counts(cfg, p, keep, ego, origin, impl=raycast_impl)
+    passes = raycast.ray_pass_counts(cfg, p, keep, ego, origin, impl=raycast_impl,
+                                     y_window=y_window)
 
     use_fused = False
-    if binning_impl in ("auto", "fused"):
+    if y_window is None and binning_impl in ("auto", "fused"):
         try:
             from gvom_tpu.ops import pallas_kernels
         except ImportError:  # pallas unavailable: 'auto' degrades to XLA
@@ -83,6 +88,10 @@ def ingest_scan(
             use_fused = binning_impl == "fused" or pallas_kernels.use_fast_path()
     if use_fused:
         hit, min_height, mom = pallas_kernels.fused_point_moments(cfg, p, keep, origin)
+    elif y_window is not None:
+        hit, min_height, mom = binning.slab_point_moments(
+            cfg, p, keep, origin, y_window[0], y_window[1]
+        )
     else:
         bins = binning.bin_points(cfg, p, keep, origin)
         hit, min_height = bins.hit, bins.min_height            # torus-placed
@@ -169,26 +178,32 @@ def combine(
     any_valid = jnp.any(buf.slot_valid)
 
     # --- phase A: occupancy + negative evidence (slot order latches) ---
-    # torus layout: alignment is masks only — no data movement
-    aligned = []
+    # torus layout: alignment is masks only — no data movement. The re-origin
+    # mask is folded INTO each channel's select rather than applied up front
+    # (gridops.align_to): a pre-aligned slot is consumed by both phases, which
+    # tempts XLA into materializing ~200 MB masked copies per slot; folding
+    # keeps every channel's merge a single fused read of the raw buffer.
+    shape = cfg.grid_shape
+    slots = []
     for i in range(cfg.buffer_size):
         g = _tree_slice(buf.grids, i)
-        aligned.append((gridops.align_to(cfg, g, origin), buf.slot_valid[i]))
+        amask = gridops.overlap_mask(cfg, origin, g.origin) & buf.slot_valid[i]
+        slots.append((g, amask))
 
-    shape = cfg.grid_shape
     occ = jnp.zeros(shape, bool)
     evidence = jnp.zeros(shape, jnp.int32)
-    for a, sv in aligned:
-        s_occ = (a.hit > 0) & sv
-        s_ev = jnp.where(sv, a.evidence, 0)
+    for g, am in slots:
+        s_occ = (g.hit > 0) & am
+        s_ev = jnp.where(am, g.evidence, 0)
         evidence = jnp.where((s_ev > 0) & ~s_occ & ~occ, evidence + s_ev, evidence)
         occ = occ | s_occ
 
-    old = gridops.align_to(cfg, world.grid, origin)
-    old_occ = (old.hit > 0) & world.valid
+    old = world.grid
+    old_mask = gridops.overlap_mask(cfg, origin, old.origin) & world.valid
+    old_occ = (old.hit > 0) & old_mask
     revive = old_occ & ~occ & (evidence <= cfg.decay_miss_limit)   # staleness veto (gvom.py:992)
     occ = occ | revive
-    old_ev = jnp.where(world.valid, old.evidence, 0)
+    old_ev = jnp.where(old_mask, old.evidence, 0)
     evidence = jnp.where(~old_occ & (old_ev > 0) & ~occ, evidence + old_ev, evidence)
     # occupied-wins (gvom.py:947-950 overwrites negative evidence on allocate):
     # a later slot occupying a cell discards evidence earlier slots accumulated
@@ -212,8 +227,8 @@ def combine(
         return h, ms, mh, mo
 
     acc = (hit, miss, min_height, mom)
-    for a, sv in aligned:
-        acc = merge_data(acc, a, (a.hit > 0) & sv & occ)
+    for g, am in slots:
+        acc = merge_data(acc, g, (g.hit > 0) & am)
     acc = merge_data(acc, old, old_occ & occ)
     hit, miss, min_height, mom = acc
 

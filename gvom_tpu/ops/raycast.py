@@ -61,9 +61,14 @@ def ray_pass_counts_xla(
     keep: jnp.ndarray,
     ego_position: jnp.ndarray,
     origin: jnp.ndarray,
+    y_window=None,
 ) -> jnp.ndarray:
-    """Portable scatter-add implementation."""
-    shape = cfg.grid_shape
+    """Portable scatter-add implementation.
+
+    y_window = (ys0, Ys): accumulate only the torus y-slab [ys0, ys0+Ys) —
+    the spatially sharded ingest's slab-local output ([X, Ys, Z])."""
+    ys0, Ys = (None, cfg.xy_size) if y_window is None else y_window
+    shape = (cfg.xy_size, Ys, cfg.z_size)
     start, step, delta, budget, _ = ray_geometry(cfg, points, keep, ego_position)
     size = gridops.size_vector(cfg)
     # origin subtraction is folded into the start once, so the per-step
@@ -78,8 +83,13 @@ def ray_pass_counts_xla(
         inb = jnp.all((vox >= 0) & (vox < size[None, :]), axis=1)
         act = ((kf - 1.0) * delta < budget) & inb
         vt = (vox + origin[None, :]) % size[None, :]       # torus placement
-        vc = jnp.where(act[:, None], vt, 0)
-        return acc.at[vc[:, 0], vc[:, 1], vc[:, 2]].add(act.astype(jnp.int32))
+        ty = vt[:, 1] if ys0 is None else vt[:, 1] - ys0
+        if ys0 is not None:
+            act = act & (ty >= 0) & (ty < Ys)
+        vc0 = jnp.where(act, vt[:, 0], 0)
+        vc1 = jnp.where(act, ty, 0)
+        vc2 = jnp.where(act, vt[:, 2], 0)
+        return acc.at[vc0, vc1, vc2].add(act.astype(jnp.int32))
 
     return jax.lax.fori_loop(1, cfg.ray_steps + 1, body, jnp.zeros(shape, jnp.int32))
 
@@ -91,8 +101,11 @@ def ray_pass_counts(
     ego_position: jnp.ndarray,
     origin: jnp.ndarray,
     impl: str = "auto",
+    y_window=None,
 ) -> jnp.ndarray:
-    if impl in ("auto", "matmul"):
+    if y_window is not None and impl == "matmul":
+        raise NotImplementedError("the matmul raycast does not take a y_window yet")
+    if y_window is None and impl in ("auto", "matmul"):
         try:
             from gvom_tpu.ops import pallas_kernels
 
@@ -100,4 +113,4 @@ def ray_pass_counts(
                 return pallas_kernels.ray_pass_counts_matmul(cfg, points, keep, ego_position, origin)
         except ImportError:
             pass
-    return ray_pass_counts_xla(cfg, points, keep, ego_position, origin)
+    return ray_pass_counts_xla(cfg, points, keep, ego_position, origin, y_window=y_window)

@@ -1,16 +1,19 @@
 """shard_map pipelines: batched scan replay over a (data, space) mesh.
 
-BASELINE configs #4/#5: a batch of (scan, ego) pairs per step, sharded over
-BOTH mesh axes (every device rasterizes its own scan subset — ingest is the
-dominant FLOP cost and parallelizes over the whole mesh); the world grid's
-y axis is sharded over `space`.
+BASELINE configs #4/#5: a batch of (scan, ego) pairs per step; the world
+grid's y axis is sharded over `space`.
 
-Collective layout (per step, amortized over the whole scan batch):
+Collective layout (per step, amortized over the whole scan batch), by
+ingest strategy (see make_batched_step):
 
-  * contribution reduce: `psum_scatter` over `space` (full-grid traffic
-    (nsp−1)/nsp, result is this device's y-slab summed over its space row)
-    then `psum` over `data` on slab-sized arrays — the world state is never
-    all-gathered in 3D.
+  * "slab": scans shard over `data` only; each device rasterizes its scans
+    directly into its y-slab (per-device ingest memory AND compute scale
+    1/n_space), and the only grid collective is a `psum` of slab-sized
+    arrays over `data` — zero space-axis grid traffic.
+  * "scatter": scans shard over BOTH axes; each device rasterizes the full
+    grid (fast Pallas kernels), then `psum_scatter` over `space` (full-grid
+    traffic (nsp−1)/nsp) + `psum` over `data` on the slabs. The world state
+    is never all-gathered in 3D either way.
   * world merge + decay veto: shard-local elementwise masks; the torus
     re-origin needs only each slab's GLOBAL torus y indices (iota + offset,
     ops/grid.overlap_mask(coords=...)) — no data movement, no halo.
@@ -77,12 +80,29 @@ def _merge_scan_grids(a: VoxelGrid, b: VoxelGrid) -> VoxelGrid:
     )
 
 
-def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
+def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
+                      ingest: str = "auto"):
     """Build the jitted sharded step:
     (world, scans [S,N,3], valid [S,N], egos [S,3]) → (world, products).
 
-    S must divide evenly over mesh.size; the grid y size over mesh.shape
-    ['space']."""
+    Two ingest strategies (`ingest`):
+
+      * "slab" — scans shard over `data` only (replicated across `space`);
+        every device rasterizes its scans DIRECTLY into its own y-slab
+        (pipeline.ingest_scan's y_window), so per-device ingest memory and
+        compute scale 1/n_space and the only grid collective is a psum of
+        slab-sized arrays over `data`. XLA kernels (the slab restriction is
+        not in the Pallas kernels yet).
+      * "scatter" — scans shard over BOTH axes; every device rasterizes the
+        full grid with the fast Pallas kernels, then `psum_scatter` over
+        `space` distributes y-slabs. Full-grid temporaries per device; best
+        wall-clock on TPU meshes at reference grid sizes.
+      * "auto" — "scatter" on multi-space TPU meshes, "slab" otherwise
+        (single-space meshes pass y_window=None, so the Pallas path still
+        serves TPU there).
+
+    With "slab", S must divide by mesh.shape['data']; with "scatter", by
+    mesh.size. Grid y size must divide by mesh.shape['space']."""
 
     # Resolve "auto" kernel choices against the MESH's devices, not the
     # process default backend: a CPU dry-run mesh can coexist with a live TPU
@@ -99,6 +119,11 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
     if Y % nsp != 0:
         raise ValueError(f"xy_size {Y} not divisible by space axis {nsp}")
     Ys = Y // nsp
+    if ingest == "auto":
+        ingest = "scatter" if (mesh_is_tpu and nsp > 1) else "slab"
+    if ingest not in ("slab", "scatter"):
+        raise ValueError(f"unknown ingest strategy {ingest!r}")
+    slab = ingest == "slab"
     # All scans of a batch rasterize at the LAST scan's origin, so earlier
     # egos can sit anywhere in the grid — the centered-ego DDA budget
     # (config.ray_steps) would silently truncate their long rays. Raise it to
@@ -113,47 +138,79 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
 
     def device_fn(world: WorldState, scans, valid, egos):
         # ---- common frame: origin of the batch's globally-last scan ----
-        egos_all = jax.lax.all_gather(egos, _ALL_AXES, tiled=True)     # [S_total, 3]
+        gather_axes = DATA_AXIS if slab else _ALL_AXES
+        egos_all = jax.lax.all_gather(egos, gather_axes, tiled=True)   # [S_total, 3]
         ego_last = egos_all[-1]
         origin = gridops.compute_origin(cfg, ego_last)
         sidx = jax.lax.axis_index(SPACE_AXIS)
         ys0 = sidx * Ys
         y_coords = ys0 + jnp.arange(Ys, dtype=jnp.int32)               # global torus y
+        ywin = (ys0, Ys) if (slab and nsp > 1) else None
 
         # ---- ingest this device's scan shard into the common frame ----
         def ingest_one(carry, xs):
             pts, vmask, ego = xs
             g, ok = pipeline.ingest_scan(
                 cfg, pts, vmask, ego, None, raycast_impl, origin=origin,
-                binning_impl=binning_impl,
+                binning_impl=binning_impl, y_window=ywin,
             )
+            if slab and nsp > 1:
+                # scan_ok is global: a scan is dropped everywhere or nowhere
+                # (gvom.py:148-150) — this device's slab may be empty while
+                # another slab holds the scan's hits
+                ok = jax.lax.pmax(ok.astype(jnp.int32), SPACE_AXIS) > 0
             dead = ~ok
             g = jax.tree_util.tree_map(lambda l: jnp.where(dead, jnp.zeros_like(l), l), g)
             g = g._replace(origin=origin, min_height=jnp.where(dead, jnp.ones_like(g.min_height), g.min_height))
             return _merge_scan_grids(carry, g), ok
 
+        from gvom_tpu.ops.moments import packed_lanes
         from gvom_tpu.types import empty_voxel_grid
 
-        init = empty_voxel_grid(cfg)._replace(origin=origin)
+        if ywin is None:
+            init = empty_voxel_grid(cfg)._replace(origin=origin)
+        else:
+            X, Z = cfg.xy_size, cfg.z_size
+            init = VoxelGrid(
+                hit=jnp.zeros((X, Ys, Z), jnp.int32),
+                miss=jnp.zeros((X, Ys, Z), jnp.int32),
+                evidence=jnp.zeros((X, Ys, Z), jnp.int32),
+                min_height=jnp.ones((X, Ys, Z), jnp.float32),
+                mom=jnp.zeros((X, 5, Ys, packed_lanes(Z)), jnp.float32),
+                origin=origin,
+            )
         local, oks = jax.lax.scan(ingest_one, init, (scans, valid, egos))
 
         # ---- reduce contributions into this device's y-slab ----
-        # sums: scatter-reduce over space (slab-distributes the y axis),
-        # then psum slab-sized arrays over data. min: allreduce the single
-        # f32 channel (no min-scatter collective), then slice the slab.
-        def rs(x, dim):
-            x = jax.lax.psum_scatter(x, SPACE_AXIS, scatter_dimension=dim, tiled=True)
-            return jax.lax.psum(x, DATA_AXIS)
+        if slab:
+            # each device already accumulated only its slab: one psum of
+            # slab-sized arrays over `data`; no space-axis grid traffic
+            # (when nsp == 1 the full grid IS the slab)
+            contrib = VoxelGrid(
+                hit=jax.lax.psum(local.hit, DATA_AXIS),
+                miss=jax.lax.psum(local.miss, DATA_AXIS),
+                evidence=jax.lax.psum(local.evidence, DATA_AXIS),
+                min_height=-jax.lax.pmax(-local.min_height, DATA_AXIS),
+                mom=jax.lax.psum(local.mom, DATA_AXIS),
+                origin=origin,
+            )
+        else:
+            # sums: scatter-reduce over space (slab-distributes the y axis),
+            # then psum slab-sized arrays over data. min: allreduce the single
+            # f32 channel (no min-scatter collective), then slice the slab.
+            def rs(x, dim):
+                x = jax.lax.psum_scatter(x, SPACE_AXIS, scatter_dimension=dim, tiled=True)
+                return jax.lax.psum(x, DATA_AXIS)
 
-        minh_full = -jax.lax.pmax(-local.min_height, _ALL_AXES)
-        contrib = VoxelGrid(
-            hit=rs(local.hit, yslab["hit"]),
-            miss=rs(local.miss, yslab["miss"]),
-            evidence=rs(local.evidence, yslab["evidence"]),
-            min_height=jax.lax.dynamic_slice_in_dim(minh_full, ys0, Ys, axis=1),
-            mom=rs(local.mom, yslab["mom"]),
-            origin=origin,
-        )
+            minh_full = -jax.lax.pmax(-local.min_height, _ALL_AXES)
+            contrib = VoxelGrid(
+                hit=rs(local.hit, yslab["hit"]),
+                miss=rs(local.miss, yslab["miss"]),
+                evidence=rs(local.evidence, yslab["evidence"]),
+                min_height=jax.lax.dynamic_slice_in_dim(minh_full, ys0, Ys, axis=1),
+                mom=rs(local.mom, yslab["mom"]),
+                origin=origin,
+            )
 
         # ---- merge with the world slab: shard-local, masks only ----
         coords = (
@@ -217,14 +274,15 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
         new_world = WorldState(grid=merged, valid=jnp.asarray(True))
         return new_world, products
 
+    scan_axes = DATA_AXIS if slab else _ALL_AXES
     sharded = shard_map(
         device_fn,
         mesh=mesh,
         in_specs=(
             world_pspecs(),
-            P(_ALL_AXES, None, None),
-            P(_ALL_AXES, None),
-            P(_ALL_AXES, None),
+            P(scan_axes, None, None),
+            P(scan_axes, None),
+            P(scan_axes, None),
         ),
         out_specs=(world_pspecs(), P()),
         check_vma=False,
@@ -232,5 +290,6 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto"):
     return jax.jit(sharded)
 
 
-def batched_step(cfg: GvomConfig, mesh: Mesh, world, scans, valid, egos, raycast_impl: str = "auto"):
-    return make_batched_step(cfg, mesh, raycast_impl)(world, scans, valid, egos)
+def batched_step(cfg: GvomConfig, mesh: Mesh, world, scans, valid, egos,
+                 raycast_impl: str = "auto", ingest: str = "auto"):
+    return make_batched_step(cfg, mesh, raycast_impl, ingest)(world, scans, valid, egos)

@@ -71,3 +71,34 @@ def test_debug_inferred_height_map(facades):
     ora = oracle.make_debug_inferred_height_map()
     assert eng.shape == ora.shape
     np.testing.assert_allclose(eng, ora, atol=1e-4)
+
+
+def test_debug_voxel_eigen_parity_reference_grid():
+    """Eigen-feature parity at the REFERENCE grid size (256×256×64).
+
+    The reference computes K16 eigenvalues every combine (gvom.py:276-284)
+    but only the debug voxel cloud ever reads them (G:363-378); gvom_tpu
+    evaluates them lazily at this exporter (PARITY.md "Contract decisions").
+    This pins that deferred path against the oracle at full grid scale, not
+    just the small grids the rest of the suite uses."""
+    from gvom_tpu.config import GvomConfig
+
+    cfg = GvomConfig(max_points=16384)          # full 256×256×64 grid
+    engine = Gvom(config=cfg)
+    oracle = NumpyOracle(cfg)
+    ego = np.array([0.5, 0.3, 1.6])
+    pts = synthetic.simulate_lidar_scan(
+        synthetic.composite_terrain(), ego, channels=16, azimuth_steps=1024,
+        max_range=50.0, seed=7,
+    )
+    pts = synthetic.nudge_off_grid(pts, cfg.xy_resolution, cfg.z_resolution)
+    engine.process_pointcloud(pts, ego)
+    oracle.process_pointcloud(pts, ego)
+    assert engine.combine_maps() is not None
+    assert oracle.combine_maps() is not None
+    eng = engine.make_debug_voxel_map()
+    ora = oracle.make_debug_voxel_map()
+    assert eng.shape == ora.shape and eng.shape[0] > 1000
+    np.testing.assert_allclose(eng[:, :3], ora[:, :3], atol=1e-4)
+    np.testing.assert_array_equal(eng[:, 4], ora[:, 4])
+    np.testing.assert_allclose(eng[:, 5:], ora[:, 5:], atol=2e-3)

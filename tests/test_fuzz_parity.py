@@ -141,9 +141,11 @@ def test_fuzz_batched_step_mesh_consistency(seed, over):
     np.testing.assert_array_equal(np.asarray(w1.grid.miss), np.asarray(w8.grid.miss))
     np.testing.assert_array_equal(np.asarray(w1.grid.evidence), np.asarray(w8.grid.evidence))
     np.testing.assert_allclose(np.asarray(w1.grid.min_height), np.asarray(w8.grid.min_height), atol=1e-6)
-    # moment sums reduce in a different order through psum_scatter/psum than
-    # on one device — single-ulp f32 noise (rel ~1e-7 observed), not a bug
-    np.testing.assert_allclose(np.asarray(w1.grid.mom), np.asarray(w8.grid.mom), rtol=1e-5, atol=1e-5)
+    # moment sums reduce in a different order on the two meshes (the slab
+    # ingest accumulates the ±ry offsets point-wise, the single-device path
+    # bins then box-filters; psum order differs too) — f32 noise up to ~1e-4
+    # absolute on near-cancelling raw sums, not a bug
+    np.testing.assert_allclose(np.asarray(w1.grid.mom), np.asarray(w8.grid.mom), rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(p1.visibility), np.asarray(p8.visibility))
     np.testing.assert_allclose(np.asarray(p1.height), np.asarray(p8.height), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(p1.negative_obstacle), np.asarray(p8.negative_obstacle))

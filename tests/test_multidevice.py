@@ -228,3 +228,115 @@ def test_batched_replay_checkpoint_resume(tiny_cfg, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(full_world.grid.evidence), np.asarray(resumed_world.grid.evidence)
     )
+
+
+def test_slab_ops_match_full_grid(tiny_cfg):
+    """slab_point_moments / slab raycast sliced columns == the full-grid XLA
+    path's, for every slab of a 4-way y split."""
+    from gvom_tpu.ops import binning, moments, raycast
+    from gvom_tpu.ops import grid as gridops
+
+    cfg = tiny_cfg
+    ego = np.array([0.3, -0.2, 1.5], np.float32)
+    pts = synthetic.simulate_lidar_scan(
+        synthetic.composite_terrain(), ego, channels=8, azimuth_steps=48, max_range=10.0, seed=5
+    )
+    pad, mask = synthetic.pad_scan(pts, cfg.max_points)
+    p, keep = binning.prepare_points(cfg, jnp.asarray(pad), jnp.asarray(mask), jnp.asarray(ego), None)
+    origin = gridops.compute_origin(cfg, jnp.asarray(ego))
+
+    passes = raycast.ray_pass_counts_xla(cfg, p, keep, jnp.asarray(ego), origin)
+    bins = binning.bin_points(cfg, p, keep, origin)
+    n, s1, s2 = moments.box_aggregate_moments(cfg, bins)
+    mom_full = moments.pack_moments(
+        gridops.window_to_torus(n, origin),
+        gridops.window_to_torus(s1, origin),
+        gridops.window_to_torus(s2, origin),
+    )
+    assert int(np.asarray(passes).sum()) > 0
+
+    Ys = cfg.xy_size // 4
+    for k in range(4):
+        ys0 = jnp.int32(k * Ys)
+        sl = slice(k * Ys, (k + 1) * Ys)
+        p_slab = raycast.ray_pass_counts_xla(cfg, p, keep, jnp.asarray(ego), origin, y_window=(ys0, Ys))
+        np.testing.assert_array_equal(np.asarray(p_slab), np.asarray(passes)[:, sl, :])
+        hit, mh, mom = binning.slab_point_moments(cfg, p, keep, origin, ys0, Ys)
+        np.testing.assert_array_equal(np.asarray(hit), np.asarray(bins.hit)[:, sl, :])
+        np.testing.assert_array_equal(np.asarray(mh), np.asarray(bins.min_height)[:, sl, :])
+        np.testing.assert_allclose(np.asarray(mom), np.asarray(mom_full)[:, :, sl, :], rtol=1e-6, atol=1e-6)
+
+
+def test_ingest_strategies_agree(tiny_cfg):
+    """'slab' and 'scatter' batched steps produce identical worlds/products
+    on the same mesh (same xla kernels, different collective layouts)."""
+    mesh = make_mesh(jax.devices()[:8])
+    scans, masks, egos = _scan_batch(tiny_cfg, 8)
+    outs = {}
+    for strat in ("slab", "scatter"):
+        step = make_batched_step(tiny_cfg, mesh, raycast_impl="xla", ingest=strat)
+        w, prods = step(empty_world_state(tiny_cfg), scans, masks, egos)
+        outs[strat] = (w, prods)
+    wa, pa = outs["slab"]
+    wb, pb = outs["scatter"]
+    np.testing.assert_array_equal(np.asarray(wa.grid.hit), np.asarray(wb.grid.hit))
+    np.testing.assert_array_equal(np.asarray(wa.grid.miss), np.asarray(wb.grid.miss))
+    np.testing.assert_array_equal(np.asarray(wa.grid.evidence), np.asarray(wb.grid.evidence))
+    # the two strategies are different XLA programs: identical math, but
+    # fusion (FMA) differences leave ~1-ulp f32 noise in the float channels
+    np.testing.assert_allclose(np.asarray(wa.grid.min_height), np.asarray(wb.grid.min_height), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wa.grid.mom), np.asarray(wb.grid.mom), rtol=1e-5, atol=1e-5)
+    # slope-derived layers may flip at (near-)singular 3×3 plane fits — the
+    # two strategies sum moments in different orders (f32). Exclude those
+    # cells (same rule the parity CLI uses); everything else must agree.
+    from gvom_tpu.utils.parity import singular_fit_mask
+
+    ok = ~singular_fit_mask(np.asarray(pa.height), tiny_cfg.xy_resolution)
+    for name in ("height", "inferred_height", "guessed_height_delta",
+                 "negative_obstacle", "visibility"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(pa, name)), np.asarray(getattr(pb, name)),
+            rtol=1e-5, atol=1e-5, err_msg=name)
+    for name in ("slope_x", "slope_y", "roughness", "positive_obstacle"):
+        a = np.asarray(getattr(pa, name))[ok]
+        b = np.asarray(getattr(pb, name))[ok]
+        if name == "roughness":
+            # log(MSE) on planar terrain is log of f32 cancellation noise;
+            # the published layer clamps at min_roughness (gvom_ros.py:163)
+            a = np.maximum(a, tiny_cfg.min_roughness)
+            b = np.maximum(b, tiny_cfg.min_roughness)
+        mismatch = np.abs(a - b) > 1e-4 + 1e-4 * np.abs(b)
+        # the det-threshold mask is itself float-sensitive: a few cells sit
+        # right at the guard and flip — tolerate isolated flips, not drift
+        assert mismatch.mean() <= 0.01, (name, mismatch.sum(), a[mismatch], b[mismatch])
+
+
+def test_sharded_world_checkpoint_resume(tiny_cfg, tmp_path):
+    """Save a mesh-sharded world mid-replay, restore, continue — bitwise the
+    same world and products as the uninterrupted run (crash recovery for the
+    sharded batched pipeline; SURVEY.md §5 checkpoint plan)."""
+    from gvom_tpu.utils.checkpoint import load_world, save_world
+
+    mesh = make_mesh(jax.devices()[:8])
+    step = make_batched_step(tiny_cfg, mesh, raycast_impl="xla")
+    scans, masks, egos = _scan_batch(tiny_cfg, 8)
+    s2, m2, e2 = _scan_batch(tiny_cfg, 8)
+
+    w = empty_world_state(tiny_cfg)
+    w1, _ = step(w, scans, masks, egos)
+    # the world leaves step() sharded over the mesh (y-slabs)
+    shardings = {str(leaf.sharding) for leaf in jax.tree_util.tree_leaves(w1.grid)
+                 if hasattr(leaf, "sharding") and leaf.ndim >= 3}
+    assert any("space" in s for s in shardings), shardings
+
+    path = save_world(str(tmp_path / "world_mid"), w1, tiny_cfg)
+    wr = load_world(path)
+    for a, b in zip(jax.tree_util.tree_leaves(w1), jax.tree_util.tree_leaves(wr)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    wa, pa = step(w1, s2, m2, e2)        # uninterrupted
+    wb, pb = step(wr, s2, m2, e2)        # resumed from the checkpoint
+    for a, b in zip(jax.tree_util.tree_leaves(wa), jax.tree_util.tree_leaves(wb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
