@@ -55,6 +55,8 @@ def batched_replay(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
     resume_from: Optional[str] = None,
+    skip_batches: int = 0,
+    heartbeat: Optional[object] = None,
 ):
     """Run the log through the sharded batched step, `batch_size` scans per
     step. Returns (final world, list of per-batch MapProducts, metrics).
@@ -62,7 +64,10 @@ def batched_replay(
     With `checkpoint_dir` + `checkpoint_every=k`, the world pytree is
     snapshotted every k batches (crash recovery for long replays, SURVEY.md
     §5); `resume_from` starts from a prior snapshot instead of an empty
-    world."""
+    world, and `skip_batches` skips log batches already fused into it (a
+    restarted job passes utils.failures.resume_latest's batch count here).
+    `heartbeat`, if given, is a utils.failures.HeartbeatMonitor beaten once
+    per fused batch (liveness = forward progress, not just a live process)."""
     import jax
     import jax.numpy as jnp
 
@@ -104,10 +109,19 @@ def batched_replay(
     products_list = []
 
     batch_pts, batch_mask, batch_ego = [], [], []
+    b_idx = 0  # global batch number, counting skipped ones (checkpoint names
+    # continue the pre-crash numbering so resume_latest never regresses)
 
     def flush():
-        nonlocal world
+        nonlocal world, b_idx
         if not batch_pts:
+            return
+        b_idx += 1
+        if b_idx <= skip_batches:
+            metrics.bump("skipped_batches")
+            batch_pts.clear()
+            batch_mask.clear()
+            batch_ego.clear()
             return
         # pad the batch to a full mesh multiple with dead scans (the step
         # shards the scan axis over BOTH mesh axes)
@@ -128,15 +142,16 @@ def batched_replay(
         metrics.bump("scans", n_real)
         metrics.bump("batches")
         products_list.append(products)
-        if checkpoint_dir and checkpoint_every > 0:
-            nb = metrics.snapshot()["counters"]["batches"]
-            if nb % checkpoint_every == 0:
-                import os
+        if checkpoint_dir and checkpoint_every > 0 and b_idx % checkpoint_every == 0:
+            import os
 
-                from gvom_tpu.utils.checkpoint import save_world
+            from gvom_tpu.utils.checkpoint import save_world
 
-                save_world(os.path.join(checkpoint_dir, f"world_b{nb}"), world, cfg)
-                metrics.bump("checkpoints")
+            save_world(os.path.join(checkpoint_dir, f"world_b{b_idx}"), world, cfg)
+            metrics.bump("checkpoints")
+        if heartbeat is not None:
+            # beaten after the checkpoint: "alive" means durable progress
+            heartbeat.beat()
         batch_pts.clear()
         batch_mask.clear()
         batch_ego.clear()

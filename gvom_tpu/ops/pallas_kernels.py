@@ -680,10 +680,16 @@ def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, W:
     return kernel
 
 
-def _xbox_translate_packed(out: jnp.ndarray, rx: int, Z: int) -> jnp.ndarray:
-    """Box-aggregate the per-slice exact moments over the ±rx x-neighborhood.
+def _xbox_translate_packed(out: jnp.ndarray, rx: int, Z: int, X: int):
+    """Box-aggregate the per-slice exact moments over the ±rx x-neighborhood
+    AND crop the x padding, in one pass. Returns (mom [X, 5, U, V],
+    rM [X, U, V]) — cropping inside the translate keeps every shifted term a
+    plain static slice of `out` (offsets rx+d ∈ [0, 2rx] are always in
+    bounds), so XLA fuses the whole post-pass into one output-sized write
+    instead of materializing the padded accumulator and copying a crop of it
+    (the crop alone measured 0.5 ms/step at the reference config).
 
-    `out` is the kernel's [Xp, _NPACK, U, V] packed per-slice output with
+    `out` is the kernel's [Xp_pad, _NPACK, U, V] packed per-slice output with
     x-moments about the SOURCE slice. Target slice x receives source slice
     x+d (d ∈ [−rx, rx]) with coordinates translated by +d along x
     (moments.translate_raw, t=d), specialized to the packed slot halves:
@@ -693,16 +699,18 @@ def _xbox_translate_packed(out: jnp.ndarray, rx: int, Z: int) -> jnp.ndarray:
       slot3 (xx|xy): lo += 2d·slot1ᴸ + d²·slot0ᴸ ; hi += d·slot2ᴸ
       slot5 (minh|hit): endpoint-only — NOT box-aggregated (d=0 term only).
     """
-    from gvom_tpu.ops.moments import _shifted
 
-    s = [out[:, i] for i in range(_NPACK)]
-    acc = [s[0], s[1], s[2], s[3], s[4]]
+    def sl(i: int, d: int) -> jnp.ndarray:
+        # cropped target slice x reads padded source slice x + rx + d
+        return out[rx + d : rx + d + X, i]
+
+    acc = [sl(i, 0) for i in range(5)]
     V = out.shape[-1]
     pad = V - 2 * Z
     for d in range(-rx, rx + 1):
         if d == 0:
             continue
-        t0, t1, t2, t3, t4 = (_shifted(s[i], d, 0) for i in range(5))
+        t0, t1, t2, t3, t4 = (sl(i, d) for i in range(5))
         df = float(d)
         acc[0] = acc[0] + t0
         acc[1] = acc[1] + t1 + df * t0
@@ -712,7 +720,89 @@ def _xbox_translate_packed(out: jnp.ndarray, rx: int, Z: int) -> jnp.ndarray:
             add3.append(jnp.zeros(t0.shape[:-1] + (pad,), t0.dtype))
         acc[3] = acc[3] + t3 + jnp.concatenate(add3, axis=-1)
         acc[4] = acc[4] + t4
-    return jnp.stack(acc + [s[5]], axis=1)
+    return jnp.stack(acc, axis=1), sl(5, 0)
+
+
+def _xbox_epilogue_factory(rx: int, Z: int, W: int, U: int, V: int):
+    """Pallas epilogue: one HBM read of the moments kernel's padded per-slice
+    output → (mom, hit, minh), with the ±rx x-box translate computed in VMEM.
+
+    The same math as _xbox_translate_packed, but XLA lowers that form to a
+    chain of full-size loop fusions (each re-reading ~200 MB — measured
+    2.05 ms/step at the reference config) because the d-shifted reads defeat
+    its producer fusion. Here each grid instance DMAs its W output slices
+    plus the 2·rx halo slices into VMEM once and streams the translate on the
+    VPU: total HBM traffic = one read of the kernel output + one write of the
+    final arrays (~0.42 GB ≈ 0.5 ms floor).
+
+    Outputs are WINDOW layout (x-cropped, unrolled); the caller's torus roll
+    stays in XLA where it fuses into the buffer-insert's update."""
+    H = W + 2 * rx
+    pad = V - 2 * Z
+
+    def kernel(out_hbm, mom_ref, hit_ref, minh_ref, scratch, sem):
+        xb = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            out_hbm.at[pl.ds(xb * W, H)], scratch, sem
+        )
+        dma.start()
+        dma.wait()
+        for w in range(W):
+            base = scratch[w + rx]            # [6, U, V]
+            acc = [base[i] for i in range(5)]
+            for d in range(-rx, rx + 1):
+                if d == 0:
+                    continue
+                t = scratch[w + rx + d]
+                df = float(d)
+                t0, t1, t2 = t[0], t[1], t[2]
+                acc[0] = acc[0] + t0
+                acc[1] = acc[1] + t1 + df * t0
+                acc[2] = acc[2] + t2
+                parts = [2.0 * df * t1[:, :Z] + (df * df) * t0[:, :Z],
+                         df * t2[:, :Z]]
+                if pad:
+                    parts.append(jnp.zeros((U, pad), jnp.float32))
+                acc[3] = acc[3] + t[3] + jnp.concatenate(parts, axis=1)
+                acc[4] = acc[4] + t[4]
+            for i in range(5):
+                mom_ref[w, i] = acc[i]
+            rM = scratch[w + rx, 5]
+            hitf = rM[:, Z: 2 * Z]            # counts are exact in f32
+            hit_ref[w] = hitf.astype(jnp.int32)
+            minh_ref[w] = jnp.where(hitf > 0.0, rM[:, :Z], 1.0)
+
+    return kernel
+
+
+def _xbox_epilogue(out: jnp.ndarray, rx: int, Z: int, X: int, interpret: bool = False):
+    """(mom [X,5,U,V], hit [X,U,Z] i32, minh [X,U,Z]) — window layout."""
+    U, V = out.shape[2], out.shape[3]
+    W = 16
+    while X % W:
+        W //= 2
+    n_inst = X // W
+    return pl.pallas_call(
+        _xbox_epilogue_factory(rx, Z, W, U, V),
+        grid=(n_inst,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec((W, 5, U, V), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, U, Z), lambda xb: (xb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, U, Z), lambda xb: (xb, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((X, 5, U, V), jnp.float32),
+            jax.ShapeDtypeStruct((X, U, Z), jnp.int32),
+            jax.ShapeDtypeStruct((X, U, Z), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W + 2 * rx, 6, U, V), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(out)
 
 
 def fused_point_moments(
@@ -815,18 +905,20 @@ def fused_point_moments(
         interpret=interpret,
     )(meta, org, px_s, py_s, pz_s, mhval)
 
-    # x-box aggregation: shift+translate over the per-slice exact output
-    # (slots 0..4; slot 5 is endpoint-only and stays d=0)
-    if rx > 0:
-        out = _xbox_translate_packed(out, rx, Z)
-    # rows: crop x padding (window layout); y/z columns are already torus.
+    # x-box aggregation: shift+translate over the per-slice exact output,
+    # with the x-padding crop fused into the same pass (slots 0..4; slot 5 is
+    # endpoint-only and stays d=0). y/z columns are already torus.
     # Slots 0..4 ARE the packed VoxelGrid.mom layout — no lane-half splitting
     # (that repacking measured ~5 ms/step); only slot 5 (minh | hit) is split,
     # since the occupancy mask and height map need plain [X,Y,Z] channels.
-    mom = out[rx : rx + X, :5]
-    rM = out[rx : rx + X, 5]
-    hit = rM[..., Z : 2 * Z].astype(jnp.int32)
-    minh = jnp.where(hit > 0, rM[..., :Z], 1.0)    # empty voxels: 1.0 (gvom.py:1014-1015)
+    # The translate runs as a second pallas kernel (one HBM pass); the XLA
+    # form is kept as the interpret-mode fallback and its exactness oracle.
+    if not interpret:
+        mom, hit, minh = _xbox_epilogue(out, rx, Z, X)
+    else:
+        mom, rM = _xbox_translate_packed(out, rx, Z, X)
+        hit = rM[..., Z : 2 * Z].astype(jnp.int32)
+        minh = jnp.where(hit > 0, rM[..., :Z], 1.0)  # empty: 1.0 (gvom.py:1014-1015)
     # raw sums need no normalization — move the x axis into torus layout
     # (leading-axis roll: contiguous) and return
     rollx = origin[0] % X

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from gvom_tpu.io import synthetic
 from gvom_tpu.ops import binning, moments, raycast
 from gvom_tpu.ops import grid as gridops
+from gvom_tpu.ops import pallas_kernels
 from gvom_tpu.ops.pallas_kernels import fused_point_moments, ray_pass_counts_matmul
 
 from conftest import make_scan
@@ -219,3 +220,23 @@ def test_raycast_matmul_z_dominant(scene):
     mm = np.asarray(ray_pass_counts_matmul(cfg, pw, kp, e, origin, interpret=True))
     np.testing.assert_array_equal(mm, ref)
     assert ref.sum() > 0
+
+
+def test_xbox_epilogue_matches_xla_translate():
+    """The pallas x-box epilogue (one-HBM-pass translate + slot-5 split,
+    the real-TPU path in fused_point_moments) is bit-identical to the XLA
+    _xbox_translate_packed form it replaces, including the x-crop and the
+    empty-voxel min-height sentinel."""
+    rng = np.random.default_rng(11)
+    X, rx, Z = 32, 1, 16
+    U, V = 24, 2 * Z
+    out = rng.normal(size=(X + 2 * rx, 6, U, V)).astype(np.float32)
+    out[:, 5, :, Z:] = np.floor(np.abs(out[:, 5, :, Z:]) * 2.0)  # integer hits
+    out = jnp.asarray(out)
+    mom_p, hit_p, minh_p = pallas_kernels._xbox_epilogue(out, rx, Z, X, interpret=True)
+    mom_x, rM = pallas_kernels._xbox_translate_packed(out, rx, Z, X)
+    hit_x = rM[..., Z: 2 * Z].astype(jnp.int32)
+    minh_x = jnp.where(hit_x > 0, rM[..., :Z], 1.0)
+    np.testing.assert_array_equal(np.asarray(mom_p), np.asarray(mom_x))
+    np.testing.assert_array_equal(np.asarray(hit_p), np.asarray(hit_x))
+    np.testing.assert_array_equal(np.asarray(minh_p), np.asarray(minh_x))
