@@ -128,10 +128,21 @@ def main():
         j = i % n_distinct
         if args.pipelined:
             # combine the previous buffer concurrently with this scan's
-            # ingest — no data dependence between the two subgraphs
-            world, products, _ = pipeline.combine(cfg, buf, world, egos[j])
+            # ingest — no data dependence between the two subgraphs. With
+            # K > 1 the combine fires once per K scans (the reference's
+            # async 10 Hz combine timer, README.md:49, made explicit).
+            def do_combine(bw):
+                b, w = bw
+                w, products, _ = pipeline.combine(cfg, b, w, egos[j])
+                return w, sum(jnp.sum(leaf).astype(jnp.float32) for leaf in products)
+
+            if K > 1:
+                world, probe = jax.lax.cond(
+                    i % K == 0, do_combine, lambda bw: (bw[1], jnp.float32(0.0)), (buf, world)
+                )
+            else:
+                world, probe = do_combine((buf, world))
             buf, _ = pipeline.ingest_and_insert(cfg, buf, scans[j], masks[j], egos[j], None, raycast_impl)
-            probe = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in products)
         elif K > 1:
             buf, _ = pipeline.ingest_and_insert(cfg, buf, scans[j], masks[j], egos[j], None, raycast_impl)
 

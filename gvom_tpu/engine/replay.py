@@ -66,6 +66,10 @@ def batched_replay(
     §5); `resume_from` starts from a prior snapshot instead of an empty
     world, and `skip_batches` skips log batches already fused into it (a
     restarted job passes utils.failures.resume_latest's batch count here).
+    NOTE: the returned products list covers only batches fused in THIS
+    process — on resume, its first entry is global batch `skip_batches + 1`
+    (skipped batches get no placeholder), so callers indexing products by
+    global batch number must offset by `skip_batches`.
     `heartbeat`, if given, is a utils.failures.HeartbeatMonitor beaten once
     per fused batch (liveness = forward progress, not just a live process)."""
     import jax

@@ -7,8 +7,9 @@ package — and pairs each cloud with the latest odometry at-or-before its
 timestamp (the reference's `cb_odom` keeps only the latest pose,
 gvom_ros.py:79-80).
 
-Supports unchunked record streams and chunks with `none`/`bz2` compression
-(`lz4`-compressed bags need the lz4 package — a clear error is raised).
+Supports unchunked record streams and chunks with `none`/`bz2`/`lz4`
+compression (lz4 via the pure-Python frame codec in io/lz4f.py when the
+native lz4 package is absent).
 Only the two message types the node consumes are deserialized; everything
 else is skipped by connection type.
 
@@ -136,13 +137,16 @@ def read_bag_messages(path: str, topics: Optional[Sequence[str]] = None) -> List
                 elif comp == "bz2":
                     payload = bz2.decompress(data)
                 elif comp == "lz4":
+                    # roslz4 writes standard LZ4 frames; prefer the native
+                    # lz4 package when present, else the pure-Python codec
                     try:
                         import lz4.frame  # type: ignore
-                    except ImportError as e:
-                        raise ValueError(
-                            f"{path}: lz4-compressed bag needs the lz4 package"
-                        ) from e
-                    payload = lz4.frame.decompress(data)
+
+                        payload = lz4.frame.decompress(data)
+                    except ImportError:
+                        from gvom_tpu.io import lz4f
+
+                        payload = lz4f.decompress(data)
                 else:
                     raise ValueError(f"{path}: unknown chunk compression {comp!r}")
                 consume(_iter_records(payload))
@@ -334,7 +338,7 @@ def write_minimal_bag(
 ) -> str:
     """Write (topic, msg_type, stamp, raw) messages as a v2.0 bag.
 
-    chunked=None emits a flat record stream; "none"/"bz2" wrap the
+    chunked=None emits a flat record stream; "none"/"bz2"/"lz4" wrap the
     connection+message records in a single chunk with that compression."""
     topics = sorted({(t, mt) for t, mt, _, _ in messages})
     conn_ids = {t: i for i, (t, _) in enumerate(topics)}
@@ -366,7 +370,16 @@ def write_minimal_bag(
         )
 
     if chunked is not None:
-        payload = body if chunked == "none" else bz2.compress(body)
+        if chunked == "none":
+            payload = body
+        elif chunked == "bz2":
+            payload = bz2.compress(body)
+        elif chunked == "lz4":
+            from gvom_tpu.io import lz4f
+
+            payload = lz4f.compress(body)
+        else:
+            raise ValueError(f"unknown chunk compression {chunked!r}")
         body = _record(
             {
                 "op": bytes([_OP_CHUNK]),

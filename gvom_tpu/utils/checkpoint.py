@@ -45,7 +45,12 @@ def save_world(path: str, world: WorldState, cfg: Optional[GvomConfig] = None) -
     arrs["valid"] = np.asarray(world.valid)
     if cfg is not None:
         arrs["config_json"] = np.frombuffer(cfg.to_json().encode(), dtype=np.uint8)
-    np.savez_compressed(path, **arrs)
+    # atomic: write to a tmp name, then rename into place — a crash mid-save
+    # must never leave a torn file under the final name (resume_latest always
+    # picks the newest checkpoint; a torn newest would poison every restart)
+    tmp = path[:-4] + ".tmp.npz"  # keep .npz so savez doesn't append one
+    np.savez_compressed(tmp, **arrs)
+    os.replace(tmp, path)
     return path
 
 

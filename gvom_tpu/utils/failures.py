@@ -25,7 +25,7 @@ import threading
 import time
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
-__all__ = ["HeartbeatMonitor", "resume_latest", "supervise"]
+__all__ = ["HeartbeatMonitor", "resume_latest", "load_resumable", "supervise"]
 
 
 class HeartbeatMonitor:
@@ -44,12 +44,22 @@ class HeartbeatMonitor:
         interval_s: float = 0.5,
         timeout_s: float = 3.0,
         on_failure: Optional[Callable[[List[int]], None]] = None,
+        startup_grace_s: Optional[float] = None,
     ):
+        """timeout_s must exceed the peer's worst inter-beat gap — for a
+        worker that beats once per fused batch (engine/replay) that includes
+        the batch's compute, so size it above the worst batch wall time.
+        startup_grace_s (default 10×timeout_s) applies only BEFORE a peer's
+        first observed beat: a worker still importing JAX or compiling its
+        first graph (routinely ≫ timeout_s) is not declared hung."""
         self.directory = directory
         self.process_id = int(process_id)
         self.n_processes = int(n_processes)
         self.interval_s = float(interval_s)
         self.timeout_s = float(timeout_s)
+        self.startup_grace_s = (
+            10.0 * self.timeout_s if startup_grace_s is None else float(startup_grace_s)
+        )
         self.on_failure = on_failure
         self._seq = 0
         self._stop = threading.Event()
@@ -74,7 +84,14 @@ class HeartbeatMonitor:
 
     def check_peers(self) -> List[int]:
         """Returns process ids whose heartbeat has not advanced within
-        timeout_s (missing file counts as never having beaten)."""
+        timeout_s (missing file counts as never having beaten).
+
+        Liveness is any CHANGE of the peer's sequence number, not an
+        increase: a restarted worker resets its seq to 1 while its pre-crash
+        file (holding a higher seq) may persist — requiring seq to grow would
+        declare the healthy restarted worker dead until it outlived its own
+        past (this was a real bug; see tests/test_failures.py's
+        supervise+heartbeat case)."""
         now = time.monotonic()
         dead = []
         for pid in range(self.n_processes):
@@ -87,9 +104,9 @@ class HeartbeatMonitor:
             except (OSError, ValueError):
                 pass
             prev = self._last.get(pid)
-            if prev is None or seq > prev[0]:
+            if prev is None or seq != prev[0]:
                 self._last[pid] = (seq, now)
-            elif now - prev[1] > self.timeout_s:
+            elif now - prev[1] > (self.timeout_s if seq >= 0 else self.startup_grace_s):
                 dead.append(pid)
         with self._lock:
             self._dead = dead
@@ -132,16 +149,37 @@ _CKPT_RE = re.compile(r"world_b(\d+)(?:\.npz)?$")
 def resume_latest(checkpoint_dir: str) -> Optional[Tuple[str, int]]:
     """Newest periodic checkpoint written by batched_replay:
     (path, batches already fused into it), or None if there is none."""
-    best: Optional[Tuple[str, int]] = None
+    ranked = _ranked_checkpoints(checkpoint_dir)
+    return ranked[0] if ranked else None
+
+
+def _ranked_checkpoints(checkpoint_dir: str) -> List[Tuple[str, int]]:
     try:
         names = os.listdir(checkpoint_dir)
     except OSError:
-        return None
+        return []
+    out = []
     for name in names:
         m = _CKPT_RE.match(name)
-        if m and (best is None or int(m.group(1)) > best[1]):
-            best = (os.path.join(checkpoint_dir, name), int(m.group(1)))
-    return best
+        if m:
+            out.append((os.path.join(checkpoint_dir, name), int(m.group(1))))
+    out.sort(key=lambda t: -t[1])
+    return out
+
+
+def load_resumable(checkpoint_dir: str):
+    """Load the newest checkpoint that actually loads: (world, batches), or
+    None. A torn/corrupt newest file (e.g. the process died mid-save on a
+    filesystem without atomic rename) falls back to the next-older intact
+    one instead of poisoning every restart."""
+    from gvom_tpu.utils.checkpoint import load_world
+
+    for path, batches in _ranked_checkpoints(checkpoint_dir):
+        try:
+            return load_world(path), batches
+        except Exception:
+            continue
+    return None
 
 
 def supervise(
@@ -150,6 +188,7 @@ def supervise(
     env: Optional[dict] = None,
     heartbeat_dir: Optional[str] = None,
     heartbeat_timeout_s: float = 5.0,
+    heartbeat_startup_grace_s: Optional[float] = None,
     poll_s: float = 0.2,
 ) -> List[int]:
     """Run `cmd` to completion, restarting it after crashes (the worker is
@@ -162,6 +201,16 @@ def supervise(
     budget is exhausted."""
     codes: List[int] = []
     for _ in range(max_restarts + 1):
+        if heartbeat_dir is not None:
+            # clear the worker's previous heartbeat so the fresh monitor
+            # can't baseline on a stale pre-crash seq (it would otherwise
+            # wait for the restarted worker's 1,2,3… to CHANGE from the old
+            # high value — harmless now that liveness is seq inequality, but
+            # a missing file also makes startup_grace_s apply cleanly)
+            try:
+                os.remove(os.path.join(heartbeat_dir, "hb_0"))
+            except OSError:
+                pass
         proc = subprocess.Popen(list(cmd), env=env)
         mon = None
         if heartbeat_dir is not None:
@@ -169,6 +218,7 @@ def supervise(
             mon = HeartbeatMonitor(
                 heartbeat_dir, process_id=1, n_processes=2,
                 timeout_s=heartbeat_timeout_s,
+                startup_grace_s=heartbeat_startup_grace_s,
             )
         while True:
             rc = proc.poll()

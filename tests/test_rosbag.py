@@ -31,7 +31,7 @@ def _make_messages(n_scans=3, seed=0):
     return msgs, clouds
 
 
-@pytest.mark.parametrize("chunked", [None, "none", "bz2"])
+@pytest.mark.parametrize("chunked", [None, "none", "bz2", "lz4"])
 def test_bag_round_trip(tmp_path, chunked):
     msgs, clouds = _make_messages()
     path = str(tmp_path / "drive.bag")
