@@ -112,6 +112,111 @@ def cmd_parity(args):
     print(json.dumps({"config": {"grid": args.grid, "scans": args.scans}, "per_combine": report}, indent=2))
 
 
+def cmd_selftest(args):
+    """Compiled (non-interpret) Pallas-vs-XLA exactness on the CURRENT
+    backend. CI pins the kernels only in interpret mode, which cannot catch
+    Mosaic lowering/alignment bugs (reference semantics at stake:
+    gvom.py:1058-1150, 1170-1329); this runs the real compiled kernels
+    against the XLA implementations and prints one JSON verdict line.
+    Run it on the TPU after kernel changes; BENCHMARKS.md records the output
+    each round. Exits nonzero on any mismatch."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from gvom_tpu.config import GvomConfig
+    from gvom_tpu.io import synthetic
+    from gvom_tpu.ops import binning, moments, raycast
+    from gvom_tpu.ops import grid as gridops
+    from gvom_tpu.ops import pallas_kernels
+
+    backend = jax.default_backend()
+    interpret = backend != "tpu"  # the Mosaic kernels only compile on TPU;
+    # --cpu exists to smoke the harness itself, labeled as interpret
+
+    cfg = GvomConfig(xy_size=args.grid, z_size=args.grid_z,
+                     max_points=args.points, buffer_size=4)
+    terrain = synthetic.composite_terrain()
+    checks = {}
+    ok_all = True
+    for seed in range(args.scans):
+        ego = np.array([0.5 + 0.45 * seed, 0.25 * seed, 1.6])
+        pts = synthetic.simulate_lidar_scan(
+            terrain, ego, channels=64, azimuth_steps=max(64, args.points // 64),
+            max_range=60.0, seed=seed,
+        )
+        pad, mask = synthetic.pad_scan(pts, cfg.max_points)
+        pad = synthetic.nudge_off_grid(pad, cfg.xy_resolution, cfg.z_resolution)
+        p, v, e = jnp.asarray(pad), jnp.asarray(mask), jnp.asarray(np.float32(ego))
+        origin = gridops.compute_origin(cfg, e)
+        pw, keep = binning.prepare_points(cfg, p, v, e, None)
+
+        # both implementations run inside ONE jit so they read the SAME f32
+        # point coordinates: across separate graphs XLA's instruction
+        # selection for pn = points/res − origin legally differs by 1 ulp
+        # (div → reciprocal-multiply / fma fusion), which shows up as a
+        # ±2⁻¹⁸ phantom "mismatch" at |coord|≈64 that says nothing about the
+        # kernels (measured + bisected on-chip, r3)
+        @jax.jit
+        def pair(pw, keep):
+            ray_pl = pallas_kernels.ray_pass_counts_matmul(
+                cfg, pw, keep, e, origin, interpret=interpret)
+            ray_x = raycast.ray_pass_counts_xla(cfg, pw, keep, e, origin)
+            hit_pl, mh_pl, mom_pl = pallas_kernels.fused_point_moments(
+                cfg, pw, keep, origin, interpret=interpret)
+            bins = binning.bin_points(cfg, pw, keep, origin)
+            n, s1, s2 = moments.box_aggregate_moments(cfg, bins)
+            mom_x = moments.pack_moments(
+                gridops.window_to_torus(n, origin),
+                gridops.window_to_torus(s1, origin),
+                gridops.window_to_torus(s2, origin),
+            )
+            return (
+                jnp.abs(ray_pl - ray_x).max(),
+                jnp.abs(hit_pl - bins.hit).max(),
+                jnp.abs(mh_pl - bins.min_height).max(),
+                jnp.abs(mom_pl - mom_x).max(),
+                jnp.abs(mom_pl - mom_x).max() / (jnp.abs(mom_x).max() + 1e-30),
+            )
+
+        dray, dh, dmh, dm, rel = pair(pw, keep)
+        d, dh, dmh, dm, rel = int(dray), int(dh), float(dmh), float(dm), float(rel)
+        checks[f"raycast_scan{seed}_maxdiff"] = d
+        ok_all &= d == 0
+        checks[f"moments_scan{seed}_hit_maxdiff"] = dh
+        checks[f"moments_scan{seed}_minh_maxdiff"] = dmh
+        checks[f"moments_scan{seed}_mom_maxreldiff"] = rel
+        # hit and minh are EXACT by construction in every precision mode
+        # (one-hot counts; bf16x3-decomposed first-of-run min). The nine
+        # coordinate-moment channels' tolerance follows GVOM_MOM_PRECISION
+        # (pallas_kernels._MOM_PRECISION): Mosaic's default f32 dots run a
+        # single bf16 pass (~2⁻⁹ operand rounding; measured 1.8e-4 on-chip),
+        # "split" drops only the lo·lo term, "highest" is multi-pass
+        # ~f32-true. These channels feed only the debug eigen features
+        # (PARITY.md K16).
+        mom_tol = {"f32": 1e-3, "split": 1e-4, "highest": 1e-5}[
+            pallas_kernels._MOM_PRECISION]
+        ok_all &= dh == 0 and dmh == 0.0 and rel <= mom_tol
+        _ = dm
+
+    verdict = {
+        "selftest": "pallas_vs_xla_compiled",
+        "backend": backend,
+        "device": str(jax.devices()[0]),
+        "interpret": interpret,
+        "grid": [args.grid, args.grid, args.grid_z],
+        "points": args.points,
+        "scans": args.scans,
+        "mom_precision": pallas_kernels._MOM_PRECISION,
+        "ok": bool(ok_all),
+        "checks": {k: (float(v) if not isinstance(v, bool) else v) for k, v in checks.items()},
+    }
+    print(json.dumps(verdict))
+    return 0 if ok_all else 1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="gvom_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -146,6 +251,15 @@ def main(argv=None):
     pp.add_argument("--azimuth", type=int, default=64)
     pp.add_argument("--cpu", action="store_true", help="force the CPU backend")
     pp.set_defaults(fn=cmd_parity)
+
+    st = sub.add_parser("selftest", help="compiled Pallas-vs-XLA kernel exactness on this backend")
+    st.add_argument("--grid", type=int, default=256)
+    st.add_argument("--grid-z", type=int, default=64)
+    st.add_argument("--points", type=int, default=131072)
+    st.add_argument("--scans", type=int, default=2)
+    st.add_argument("--cpu", action="store_true",
+                    help="smoke the harness on CPU (interpret mode; NOT a Mosaic check)")
+    st.set_defaults(fn=cmd_selftest)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -103,11 +103,13 @@ def ingest_scan(
     occ = hit > 0
     # moments are NOT occupancy-masked here: every consumer (combine's slot
     # fusion, the sharded psum merge) masks by source occupancy at merge
-    # time, so the mask here would be a redundant 240 MB read+write
+    # time, so the mask here would be a redundant 240 MB read+write.
+    # Likewise a scan's negative evidence is exactly `miss` at unoccupied
+    # voxels — derived by consumers, never stored (one grid write per ingest
+    # + one read per combine slot saved; WorldState.evidence docstring).
     grid = VoxelGrid(
         hit=hit,
         miss=passes,
-        evidence=jnp.where(occ, 0, passes),
         min_height=min_height,
         mom=mom,
         origin=origin,
@@ -194,8 +196,10 @@ def combine(
     evidence = jnp.zeros(shape, jnp.int32)
     for g, am in slots:
         s_occ = (g.hit > 0) & am
-        s_ev = jnp.where(am, g.evidence, 0)
-        evidence = jnp.where((s_ev > 0) & ~s_occ & ~occ, evidence + s_ev, evidence)
+        # a scan grid's negative evidence ≡ its miss count at unoccupied
+        # voxels (derived, not stored — WorldState.evidence docstring)
+        s_ev = jnp.where(am & ~s_occ, g.miss, 0)
+        evidence = jnp.where((s_ev > 0) & ~occ, evidence + s_ev, evidence)
         occ = occ | s_occ
 
     old = world.grid
@@ -203,7 +207,7 @@ def combine(
     old_occ = (old.hit > 0) & old_mask
     revive = old_occ & ~occ & (evidence <= cfg.decay_miss_limit)   # staleness veto (gvom.py:992)
     occ = occ | revive
-    old_ev = jnp.where(old_mask, old.evidence, 0)
+    old_ev = jnp.where(old_mask, world.evidence, 0)
     evidence = jnp.where(~old_occ & (old_ev > 0) & ~occ, evidence + old_ev, evidence)
     # occupied-wins (gvom.py:947-950 overwrites negative evidence on allocate):
     # a later slot occupying a cell discards evidence earlier slots accumulated
@@ -235,12 +239,11 @@ def combine(
     new_grid = VoxelGrid(
         hit=hit,
         miss=miss,
-        evidence=evidence,
         min_height=min_height,
         mom=mom,
         origin=origin,
     )
-    new_world = WorldState(grid=new_grid, valid=jnp.asarray(True))
+    new_world = WorldState(grid=new_grid, evidence=evidence, valid=jnp.asarray(True))
     new_world = _tree_where(any_valid, new_world, world)
 
     # --- 2D products (gvom.py:286-354) ---

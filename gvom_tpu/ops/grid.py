@@ -130,7 +130,6 @@ def align_to(cfg: GvomConfig, grid, new_origin: jnp.ndarray, coords=None):
     return VoxelGrid(
         hit=jnp.where(mask, grid.hit, 0),
         miss=jnp.where(mask, grid.miss, 0),
-        evidence=jnp.where(mask, grid.evidence, 0),
         min_height=jnp.where(mask, grid.min_height, 1.0),
         mom=jnp.where(mpk[:, None], grid.mom, 0.0),
         origin=new_origin,

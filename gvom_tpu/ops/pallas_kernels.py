@@ -308,9 +308,12 @@ def ray_pass_counts_matmul(
     # per-chunk VMEM streams + a per-step f32 compare).
     k0 = jnp.floor(budget / jnp.maximum(delta, 1e-20)).astype(jnp.int32) + 1
     k0f = k0.astype(jnp.float32)
-    k0 = jnp.where((k0f - 1.0) * delta >= budget, k0 - 1, k0)
+    # barriered products ⇒ the fixup compares use the same mul-then-compare
+    # rounding as the XLA fallback's in-body test in every graph context
+    # (see the fma note in raycast.ray_pass_counts_xla)
+    k0 = jnp.where(jax.lax.optimization_barrier((k0f - 1.0) * delta) >= budget, k0 - 1, k0)
     k0f = k0.astype(jnp.float32)
-    k0 = jnp.where(k0f * delta < budget, k0 + 1, k0)
+    k0 = jnp.where(jax.lax.optimization_barrier(k0f * delta) < budget, k0 + 1, k0)
     kmax = jnp.clip(jnp.where(budget >= 0, k0, 0), 0, S)
     # ... further bounded by grid exit: pos_a(s) = start_a + s·step_a leaves
     # [0, size_a) monotonically (convex box ⇒ exited stays exited). A +2
@@ -393,7 +396,7 @@ def ray_pass_counts_matmul(
     # replication + a per-(group, step) window mask (pure elementwise — the
     # mod-u trick costs no extra matmul). The opt-in mod-64 tier
     # (GVOM_RAY_TIER64=1) further halves steps 1..31; measured before any
-    # default flip (scratch/raymicro.py).
+    # default flip (scratch/profile_step.py).
     meta_xy = build_meta([0, 1, 2, 3])
     tiers = []  # (W, s_lo, s_hi, SB): steps s_lo..s_hi at u_mod=W
     if _RAY_TIER64 and X > 64 and X % 64 == 0 and S >= 8:
@@ -436,30 +439,36 @@ def ray_pass_counts_matmul(
     hist_z = _run_hist(meta_z[:, : Sz + 1], startuv[4:], su_s, sv_s, 2, Sz, X, Y,
                        interpret, paired=False, SB=_SBLOCK_Z, chunk=_CHUNK_FAR)
 
-    # --- placement: one-hot matmul over the step axis (exact, no scatter) ---
-    out = jnp.zeros((X, Y, Z), jnp.float32)
-    # groups 0,1: rows are x cells; hist [S, Y(=256 via U=X? u-axis is y), Z]
-    #   u-axis for x-dom is y (size Y) — U was passed as X==Y for xy grids
-    for gi, g in enumerate((0, 1)):
-        oh = ((rows[g][None, :] == jnp.arange(X)[:, None]) & rows_ok[g][None, :]).astype(jnp.float32)
-        h = hist_xy[gi].reshape(S, Y * Z)
-        out = out + jax.lax.dot_general(
-            oh, h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).reshape(X, Y, Z)
-    for gi, g in enumerate((2, 3)):
-        oh = ((rows[g][None, :] == jnp.arange(Y)[:, None]) & rows_ok[g][None, :]).astype(jnp.float32)
-        h = hist_xy[2 + gi].reshape(S, X * Z)
-        contrib = jax.lax.dot_general(
-            oh, h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).reshape(Y, X, Z)
-        out = out + contrib.transpose(1, 0, 2)
-    for gi, g in enumerate((4, 5)):
-        oh = ((rows[g][None, :Sz] == jnp.arange(Z)[:, None]) & rows_ok[g][None, :Sz]).astype(jnp.float32)
-        h = hist_z[gi].reshape(Sz, X * Y)
-        contrib = jax.lax.dot_general(
-            oh, h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).reshape(Z, X, Y)
-        out = out + contrib.transpose(1, 2, 0)
+    # --- placement: each DDA step advances the dominant axis by EXACTLY ±1
+    # voxel, so floor(start_dom ± s) = floor(start_dom) ± s (both exact in
+    # f32 at grid magnitudes) — step s's 2D histogram lands on one
+    # CONSECUTIVE dominant-axis row. Placement is therefore a contiguous
+    # block write (a dynamic-slice of the zero-padded per-step stack), not
+    # the former [size, S]×[S, U·V] one-hot matmuls: zero FLOPs, one fused
+    # read of the hists + one write per axis, and no bf16 operand staging.
+    def place_axis(h_pos, h_neg, axis_start, size):
+        # h_pos/h_neg: [S_a, A, B] hists of the +1 / −1 sign groups, step
+        # s = 1..S_a at row x0 + s / x0 − s (x0 = floor of the start coord)
+        S_a = h_pos.shape[0]
+        x0 = jnp.floor(axis_start).astype(jnp.int32)
+        blk = jnp.concatenate(
+            [jnp.flip(h_neg, 0), jnp.zeros((1,) + h_pos.shape[1:], h_pos.dtype), h_pos], 0
+        )  # row j ↔ window row x0 − S_a + j
+        xw = x0 - S_a + jnp.arange(2 * S_a + 1)
+        blk = blk * ((xw >= 0) & (xw < size)).astype(blk.dtype)[:, None, None]
+        zpad = jnp.zeros((size,) + h_pos.shape[1:], blk.dtype)
+        blkp = jnp.concatenate([zpad, blk, zpad], 0)
+        # window row x reads padded row x + size + S_a − x0. dynamic_slice's
+        # own start clamping is safe: it can only bite when x0 is so far
+        # outside [−S_a−1, size+S_a] that every block row was masked zero
+        return jax.lax.dynamic_slice(
+            blkp, (size + S_a - x0, 0, 0), (size,) + h_pos.shape[1:]
+        )
+
+    px = place_axis(hist_xy[0], hist_xy[1], start_rel[0], X)   # [X, Y, Z]
+    py = place_axis(hist_xy[2], hist_xy[3], start_rel[1], Y)   # [Y, X, Z]
+    pz = place_axis(hist_z[0], hist_z[1], start_rel[2], Z)     # [Z, X, Y]
+    out = px + py.transpose(1, 0, 2) + pz.transpose(1, 2, 0)
     # everything above is window-layout; one 3-axis roll moves it to torus
     from gvom_tpu.ops import grid as gridops_mod
 
@@ -487,10 +496,12 @@ def ray_pass_counts_matmul(
 # sort key, so each voxel run's FIRST point carries the voxel's minimum z
 # (the reference's atomic.min at gvom.py:1329). Gating the minh channel on
 # a first-of-run flag makes its "sum" have exactly one nonzero term per
-# voxel = the min — an extra matmul instead of a 5 ms scatter-min.
-# f32 one-hot/ramp factors with f32 MXU accumulation keep the reference's
-# numerics (coords are O(1) in the target-local frame — the same conditioning
-# trick the reference uses at gvom.py:1205-1207).
+# voxel = the min — an extra matmul instead of a 5 ms scatter-min; its value
+# factor is bf16x3-decomposed so the compiled kernel is bitwise exact.
+# Coordinate factors are O(1) in the target-local frame (the same
+# conditioning trick the reference uses at gvom.py:1205-1207); their matmul
+# precision is the GVOM_MOM_PRECISION knob (on-chip, default-precision f32
+# dots are a single bf16 pass — see the knob's comment).
 #
 # The ±r_x X-NEIGHBORHOOD IS NOT IN THE KERNEL: each x-slice's matmuls run
 # over exactly that slice's points (K = points-in-slice, not the 3× window),
@@ -523,13 +534,24 @@ _XBLOCK = _env_int("GVOM_MOM_XB", "2", 1, 8)
              # A-side VPU temporaries and out/accumulator VMEM.
 
 
-_MOM_PRECISION = _env_choice("GVOM_MOM_PRECISION", "f32", ("f32", "split"))
-                        # "f32": plain f32 dot_generals (Mosaic multi-pass).
+_MOM_PRECISION = _env_choice("GVOM_MOM_PRECISION", "f32", ("f32", "split", "highest"))
+                        # Matmul precision of the nine moment-channel dots
+                        # (the minh channel is EXACT in every mode — see the
+                        # bf16x3 decomposition at the r5 computation):
+                        # "f32": default-precision f32 dot_generals. On real
+                        #   TPU, Mosaic lowers these to a SINGLE bf16 pass —
+                        #   operands round to 8 mantissa bits, ~2^-9 relative
+                        #   error on the coordinate-moment channels (found by
+                        #   `cli selftest` on-chip r3; interpret mode runs
+                        #   true f32 and cannot see it). Those channels feed
+                        #   only the debug eigen-features (PARITY.md K16), so
+                        #   this stays the fast default.
                         # "split": hi/lo bf16 decomposition per inexact
-                        # operand, dropping the lo*lo term — ~2^-16 relative
-                        # error (far inside the parity tolerances); exact
-                        # one-hot factors stay single-pass. 19 bf16 matmuls
-                        # vs 9 multi-pass f32 ones.
+                        #   operand, dropping the lo*lo term — ~2^-16
+                        #   relative error; exact one-hot factors stay
+                        #   single-pass. 19 bf16 matmuls vs 9.
+                        # "highest": precision=HIGHEST on inexact dots
+                        #   (Mosaic multi-pass, ~f32-true, ≲2^-22).
 
 _NPACK = 6  # packed matmul results per x-slice (see _moment_slice):
             # slots 0..4 are the raw moment channels in the VoxelGrid.mom
@@ -646,6 +668,16 @@ def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, W:
                         ah, al = sp(a)
                         bh_, bl_ = sp(b)
                         return mm(ah, bh_) + mm(al, bh_) + mm(ah, bl_)
+                elif _MOM_PRECISION == "highest":
+                    def mm_hi(a, b):
+                        return jax.lax.dot_general(
+                            a, b, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+
+                    mm_ee = mm        # 0/1 operands are exact in one pass
+                    mm_ie = mm_ei = mm_ii = mm_hi
                 else:
                     mm_ee = mm_ie = mm_ei = mm_ii = mm
 
@@ -666,7 +698,29 @@ def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, W:
                 r4 = r4 + mm_ie(ramp2y, b_lo)         # yy | zz
                 hity = (kd == 0).astype(jnp.float32)  # exact (slice, y) match
                 mh = mh_ref[pl.ds(base, _PCHUNK)]     # first-of-run flag · fz
-                r5 = mm_ie(hity * mh[:, None], bm) + mm_ee(hity, bh)   # minh | hit
+                # minh must be EXACT in every mode — it feeds the height map
+                # (Mosaic's default-precision f32 dots round operands to
+                # bf16). Decompose mh into three bf16 terms (8+8+8 ≥ 24
+                # mantissa bits; each residual is exactly representable, so
+                # m1+m2+m3 == mh bitwise), multiply each by the exact 0/1
+                # one-hot (bf16 product of a bf16 value and 0/1 is exact),
+                # and accumulate — exactly one nonzero term lands per output
+                # column (first-of-run gating), so no add ever rounds.
+                bfl = jnp.bfloat16
+                bm_b = bm.astype(bfl)
+                # decompose in f32 (Mosaic can't minor-dim-expand bf16
+                # vectors); every term is bf16-representable so the casts
+                # after the 0/1 broadcast-multiply are exact
+                m1 = mh.astype(bfl).astype(jnp.float32)
+                rr = mh - m1
+                m2 = rr.astype(bfl).astype(jnp.float32)
+                m3 = rr - m2
+                r5 = (
+                    mm((m1[:, None] * hity).astype(bfl), bm_b)
+                    + mm((m2[:, None] * hity).astype(bfl), bm_b)
+                    + mm((m3[:, None] * hity).astype(bfl), bm_b)
+                    + mm(hity.astype(bfl), bh.astype(bfl))
+                )                                     # minh | hit
                 # VoxelGrid.mom slot order: n|sz, sx|xz, sy|yz, xx|xy, yy|zz
                 prods = (r0, r1, r2, r3, r4, r5)
                 return tuple(a + p for a, p in zip(accs, prods))
@@ -851,11 +905,18 @@ def fused_point_moments(
     py = jnp.where(inb, pp[:, 1], -big)
     pz = jnp.where(inb, pp[:, 2], -big)
     # secondary key: sub-voxel z as order-preserving int bits (fz ≥ 0), so
-    # each voxel run's first point carries min(fz) — see kernel header
-    fzbits = jax.lax.bitcast_convert_type(pp[:, 2] - jnp.floor(pp[:, 2]), jnp.int32)
-    vid_s, _, px_s, py_s, pz_s = jax.lax.sort((vid, fzbits, px, py, pz), num_keys=2)
+    # each voxel run's first point carries min(fz) — see kernel header.
+    # fz comes from the UNPADDED map-local coordinate: pn_z − floor(pn_z) is
+    # exact in f32 (same expression as binning.bin_points's `local`), whereas
+    # the padded pp_z = pn_z + rz rounds when the add crosses a binade (ulp
+    # 2⁻¹⁸ at z≈64 — the on-chip selftest caught exactly that delta)
+    fz = pn[:, 2] - jnp.floor(pn[:, 2])
+    fzbits = jax.lax.bitcast_convert_type(fz, jnp.int32)
+    vid_s, _, px_s, py_s, pz_s, fz_s = jax.lax.sort(
+        (vid, fzbits, px, py, pz, fz), num_keys=2
+    )
     first = jnp.concatenate([jnp.ones((1,), bool), vid_s[1:] != vid_s[:-1]])
-    mhval = jnp.where(first & (vid_s < vid_dead), pz_s - jnp.floor(pz_s), 0.0)
+    mhval = jnp.where(first & (vid_s < vid_dead), fz_s, 0.0)
 
     n = points.shape[0]
     npad = ((n + _PCHUNK - 1) // _PCHUNK + 1) * _PCHUNK

@@ -50,6 +50,14 @@ def ray_geometry(cfg: GvomConfig, points: jnp.ndarray, keep: jnp.ndarray, ego_po
     ok = ok & (absdom > 0)
     safe = jnp.where(absdom > 0, absdom, 1.0)
     step = s / safe[:, None]
+    # the dominant component is mathematically ±1 — force it exactly.
+    # XLA:TPU lowers the division to reciprocal-multiply, and
+    # s_dom·fl(1/|s_dom|) can be ±(1+2⁻²³); at integer-valued starts that
+    # 1-ulp drift moves floor(start_dom ± k) one whole row after the first
+    # step (measured: ~4k displaced voxels/scan at an ego on a cell edge).
+    # Exact ±1 keeps the dominant-axis march integer-exact on every backend
+    # (the invariant the matmul raycast's placement relies on).
+    step = jnp.where(jnp.arange(3)[None, :] == dom[:, None], jnp.sign(s), step)
     delta = 1.0 / safe
     budget = jnp.where(ok, length - 1.0, -1.0)
     return start, step, delta, budget, dom
@@ -78,10 +86,16 @@ def ray_pass_counts_xla(
 
     def body(k, acc):
         kf = k.astype(jnp.float32)
-        pos = start_rel[None, :] + kf * step
+        # barrier the products: mul-then-add with two separate roundings, in
+        # EVERY graph context. Without it XLA:TPU may fuse these into fmas
+        # depending on what else shares the graph, flipping knife-edge floors
+        # / liveness tests by 1 ulp vs the Pallas kernels and the numpy
+        # oracle (both of which round the product) — measured as ~4k paired
+        # ±1 voxel diffs in a fused Pallas-vs-XLA graph (scratch/ray_diff_*).
+        pos = start_rel[None, :] + jax.lax.optimization_barrier(kf * step)
         vox = jnp.floor(pos).astype(jnp.int32)
         inb = jnp.all((vox >= 0) & (vox < size[None, :]), axis=1)
-        act = ((kf - 1.0) * delta < budget) & inb
+        act = (jax.lax.optimization_barrier((kf - 1.0) * delta) < budget) & inb
         vt = (vox + origin[None, :]) % size[None, :]       # torus placement
         ty = vt[:, 1] if ys0 is None else vt[:, 1] - ys0
         if ys0 is not None:

@@ -58,26 +58,30 @@ def world_pspecs() -> WorldState:
     g = VoxelGrid(
         hit=P(None, SPACE_AXIS, None),
         miss=P(None, SPACE_AXIS, None),
-        evidence=P(None, SPACE_AXIS, None),
         min_height=P(None, SPACE_AXIS, None),
         mom=P(None, None, SPACE_AXIS, None),   # [X, N_SLOTS=5, Y, Vp]: y is dim 2
         origin=P(),
     )
-    return WorldState(grid=g, valid=P())
+    return WorldState(grid=g, evidence=P(None, SPACE_AXIS, None), valid=P())
 
 
-def _merge_scan_grids(a: VoxelGrid, b: VoxelGrid) -> VoxelGrid:
+def _merge_scan_grids(acc, contrib):
     """Associative merge of two same-origin scan contributions.
 
-    Moment channels are raw voxel-local sums (ops/moments) — plain adds."""
-    return VoxelGrid(
+    Carries (VoxelGrid, evidence): moment channels are raw voxel-local sums
+    (ops/moments) — plain adds; evidence is the batched associative form
+    Σ_scans miss·(scan-locally unoccupied), which is NOT a function of the
+    merged hit/miss channels, so it rides its own accumulator."""
+    a, a_ev = acc
+    b, b_ev = contrib
+    g = VoxelGrid(
         hit=a.hit + b.hit,
         miss=a.miss + b.miss,
-        evidence=a.evidence + b.evidence,
         min_height=jnp.minimum(a.min_height, b.min_height),
         mom=a.mom + b.mom,
         origin=a.origin,
     )
+    return g, a_ev + b_ev
 
 
 def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
@@ -134,7 +138,7 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
         cfg = dataclasses.replace(
             cfg, ray_steps_override=max(cfg.xy_size, cfg.z_size) + 4
         )
-    yslab = {"hit": 1, "miss": 1, "evidence": 1, "min_height": 1, "mom": 2}
+    yslab = {"hit": 1, "miss": 1, "min_height": 1, "mom": 2}
 
     def device_fn(world: WorldState, scans, valid, egos):
         # ---- common frame: origin of the batch's globally-last scan ----
@@ -160,26 +164,28 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
                 # another slab holds the scan's hits
                 ok = jax.lax.pmax(ok.astype(jnp.int32), SPACE_AXIS) > 0
             dead = ~ok
+            # this scan's negative evidence: misses at its unoccupied voxels
+            ev = jnp.where(dead | (g.hit > 0), 0, g.miss)
             g = jax.tree_util.tree_map(lambda l: jnp.where(dead, jnp.zeros_like(l), l), g)
             g = g._replace(origin=origin, min_height=jnp.where(dead, jnp.ones_like(g.min_height), g.min_height))
-            return _merge_scan_grids(carry, g), ok
+            return _merge_scan_grids(carry, (g, ev)), ok
 
         from gvom_tpu.ops.moments import packed_lanes
         from gvom_tpu.types import empty_voxel_grid
 
         if ywin is None:
-            init = empty_voxel_grid(cfg)._replace(origin=origin)
+            init_g = empty_voxel_grid(cfg)._replace(origin=origin)
         else:
             X, Z = cfg.xy_size, cfg.z_size
-            init = VoxelGrid(
+            init_g = VoxelGrid(
                 hit=jnp.zeros((X, Ys, Z), jnp.int32),
                 miss=jnp.zeros((X, Ys, Z), jnp.int32),
-                evidence=jnp.zeros((X, Ys, Z), jnp.int32),
                 min_height=jnp.ones((X, Ys, Z), jnp.float32),
                 mom=jnp.zeros((X, 5, Ys, packed_lanes(Z)), jnp.float32),
                 origin=origin,
             )
-        local, oks = jax.lax.scan(ingest_one, init, (scans, valid, egos))
+        init = (init_g, jnp.zeros_like(init_g.miss))
+        (local, local_ev), oks = jax.lax.scan(ingest_one, init, (scans, valid, egos))
 
         # ---- reduce contributions into this device's y-slab ----
         if slab:
@@ -189,11 +195,11 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
             contrib = VoxelGrid(
                 hit=jax.lax.psum(local.hit, DATA_AXIS),
                 miss=jax.lax.psum(local.miss, DATA_AXIS),
-                evidence=jax.lax.psum(local.evidence, DATA_AXIS),
                 min_height=-jax.lax.pmax(-local.min_height, DATA_AXIS),
                 mom=jax.lax.psum(local.mom, DATA_AXIS),
                 origin=origin,
             )
+            contrib_ev = jax.lax.psum(local_ev, DATA_AXIS)
         else:
             # sums: scatter-reduce over space (slab-distributes the y axis),
             # then psum slab-sized arrays over data. min: allreduce the single
@@ -206,11 +212,11 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
             contrib = VoxelGrid(
                 hit=rs(local.hit, yslab["hit"]),
                 miss=rs(local.miss, yslab["miss"]),
-                evidence=rs(local.evidence, yslab["evidence"]),
                 min_height=jax.lax.dynamic_slice_in_dim(minh_full, ys0, Ys, axis=1),
                 mom=rs(local.mom, yslab["mom"]),
                 origin=origin,
             )
+            contrib_ev = rs(local_ev, yslab["miss"])
 
         # ---- merge with the world slab: shard-local, masks only ----
         coords = (
@@ -219,16 +225,18 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
             jnp.arange(cfg.z_size, dtype=jnp.int32),
         )
         old = gridops.align_to(cfg, world.grid, origin, coords=coords)
+        omask = gridops.overlap_mask(cfg, origin, world.grid.origin, coords=coords)
+        old_ev = jnp.where(omask, world.evidence, 0)
         old_valid = world.valid
 
         occ = contrib.hit > 0
         old_occ = (old.hit > 0) & old_valid
-        revive = old_occ & ~occ & (contrib.evidence <= cfg.decay_miss_limit)
+        revive = old_occ & ~occ & (contrib_ev <= cfg.decay_miss_limit)
         occ2 = occ | revive
         evidence = jnp.where(
-            ~old_occ & (old.evidence > 0) & ~occ2 & old_valid,
-            contrib.evidence + old.evidence,
-            contrib.evidence,
+            ~old_occ & (old_ev > 0) & ~occ2 & old_valid,
+            contrib_ev + old_ev,
+            contrib_ev,
         )
         evidence = jnp.where(occ2, 0, evidence)                # occupied-wins
         msel = old_occ & occ2
@@ -236,7 +244,6 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
         merged = VoxelGrid(
             hit=contrib.hit + jnp.where(msel, old.hit, 0),
             miss=contrib.miss + jnp.where(msel, old.miss, 0),
-            evidence=evidence,
             min_height=jnp.where(msel, jnp.minimum(contrib.min_height, old.min_height), contrib.min_height),
             mom=contrib.mom + jnp.where(mpk[:, None], old.mom, 0.0),
             origin=origin,
@@ -271,7 +278,7 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
             negative_obstacle=neg, visibility=vis,
         )
 
-        new_world = WorldState(grid=merged, valid=jnp.asarray(True))
+        new_world = WorldState(grid=merged, evidence=evidence, valid=jnp.asarray(True))
         return new_world, products
 
     scan_axes = DATA_AXIS if slab else _ALL_AXES

@@ -56,9 +56,6 @@ class VoxelGrid(NamedTuple):
 
     hit: jnp.ndarray         # [X, Y, Z] int32 — lidar endpoint hits
     miss: jnp.ndarray        # [X, Y, Z] int32 — ray pass-throughs (data channel; reference total = hit+miss)
-    evidence: jnp.ndarray    # [X, Y, Z] int32 — index-map negative evidence: pass count while the
-                             #   voxel is unoccupied (reference index == -evidence-1, gvom.py:962-997).
-                             #   Distinct from `miss`: once occupied, misses feed totals, not evidence.
     min_height: jnp.ndarray  # [X, Y, Z] float32 — sub-voxel z of lowest point, init 1.0 (gvom.py:1014)
     mom: jnp.ndarray         # [X, 5, Y, Vp] float32 — the ten raw voxel-local moment sums
                              #   (n, S1, R2 — reference metrics[0:10], gvom.py:1170-1299) in the
@@ -77,9 +74,20 @@ class VoxelGrid(NamedTuple):
 
 
 class WorldState(NamedTuple):
-    """The persistent fused map (reference `last_combined_*`, gvom.py:77-83)."""
+    """The persistent fused map (reference `last_combined_*`, gvom.py:77-83).
+
+    `evidence` lives HERE, not on VoxelGrid: for a single scan it is exactly
+    `miss` at unoccupied voxels (derivable on the fly — storing it per buffer
+    slot cost a redundant grid-sized write per ingest plus grid-sized reads
+    per combine), while the FUSED form below is a genuine combine output —
+    the reference's index-map negative-evidence accumulator with slot-order
+    latching and the occupied-wins overwrite (gvom.py:941-997), which is not
+    a function of the fused hit/miss channels.
+    """
 
     grid: VoxelGrid
+    evidence: jnp.ndarray    # [X, Y, Z] int32 — pass count accumulated while the voxel stayed
+                             #   unoccupied (reference index == -evidence-1, gvom.py:962-997)
     valid: jnp.ndarray       # [] bool — False until the first combine (no previous map)
 
 
@@ -129,7 +137,6 @@ def empty_voxel_grid(cfg: GvomConfig) -> VoxelGrid:
     return VoxelGrid(
         hit=jnp.zeros((x, y, z), jnp.int32),
         miss=jnp.zeros((x, y, z), jnp.int32),
-        evidence=jnp.zeros((x, y, z), jnp.int32),
         min_height=jnp.ones((x, y, z), jnp.float32),
         mom=jnp.zeros((x, N_SLOTS, y, packed_lanes(z)), jnp.float32),
         origin=jnp.zeros((3,), jnp.int32),
@@ -137,7 +144,11 @@ def empty_voxel_grid(cfg: GvomConfig) -> VoxelGrid:
 
 
 def empty_world_state(cfg: GvomConfig) -> WorldState:
-    return WorldState(grid=empty_voxel_grid(cfg), valid=jnp.asarray(False))
+    return WorldState(
+        grid=empty_voxel_grid(cfg),
+        evidence=jnp.zeros(cfg.grid_shape, jnp.int32),
+        valid=jnp.asarray(False),
+    )
 
 
 def _stack(grid: VoxelGrid, b: int) -> VoxelGrid:

@@ -36,12 +36,17 @@ def save_world(path: str, world: WorldState, cfg: Optional[GvomConfig] = None) -
     if ocp is not None:
         path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"grid": world.grid._asdict(), "valid": world.valid}, force=True)
+        ckptr.save(
+            path,
+            {"grid": world.grid._asdict(), "evidence": world.evidence, "valid": world.valid},
+            force=True,
+        )
         ckptr.wait_until_finished()
         return path
     if not path.endswith(".npz"):
         path = path + ".npz"
     arrs = {f: np.asarray(getattr(world.grid, f)) for f in _FIELDS}
+    arrs["evidence"] = np.asarray(world.evidence)
     arrs["valid"] = np.asarray(world.valid)
     if cfg is not None:
         arrs["config_json"] = np.frombuffer(cfg.to_json().encode(), dtype=np.uint8)
@@ -61,7 +66,15 @@ def load_world(path: str) -> WorldState:
         ckptr = ocp.StandardCheckpointer()
         data = ckptr.restore(path)
         grid = VoxelGrid(**{k: jnp.asarray(v) for k, v in data["grid"].items()})
-        return WorldState(grid=grid, valid=jnp.asarray(data["valid"]))
+        return WorldState(
+            grid=grid,
+            evidence=jnp.asarray(data["evidence"]),
+            valid=jnp.asarray(data["valid"]),
+        )
     with np.load(path) as z:
         grid = VoxelGrid(**{f: jnp.asarray(z[f]) for f in _FIELDS})
-        return WorldState(grid=grid, valid=jnp.asarray(bool(z["valid"])))
+        return WorldState(
+            grid=grid,
+            evidence=jnp.asarray(z["evidence"]),
+            valid=jnp.asarray(bool(z["valid"])),
+        )

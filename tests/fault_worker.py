@@ -69,7 +69,7 @@ def main():
     if hb is not None:
         hb.stop()
     np.savez(out_path, hit=np.asarray(world.grid.hit),
-             evidence=np.asarray(world.grid.evidence),
+             evidence=np.asarray(world.evidence),
              minh=np.asarray(world.grid.min_height),
              mom=np.asarray(world.grid.mom))
 

@@ -139,7 +139,7 @@ def test_fuzz_batched_step_mesh_consistency(seed, over):
     np.testing.assert_array_equal(np.asarray(w1.grid.origin), np.asarray(w8.grid.origin))
     np.testing.assert_array_equal(np.asarray(w1.grid.hit), np.asarray(w8.grid.hit))
     np.testing.assert_array_equal(np.asarray(w1.grid.miss), np.asarray(w8.grid.miss))
-    np.testing.assert_array_equal(np.asarray(w1.grid.evidence), np.asarray(w8.grid.evidence))
+    np.testing.assert_array_equal(np.asarray(w1.evidence), np.asarray(w8.evidence))
     np.testing.assert_allclose(np.asarray(w1.grid.min_height), np.asarray(w8.grid.min_height), atol=1e-6)
     # moment sums reduce in a different order on the two meshes (the slab
     # ingest accumulates the ±ry offsets point-wise, the single-device path

@@ -189,7 +189,7 @@ def test_batched_step_oracle_parity(tiny_cfg):
     n_eng, _, _ = moments.unpack_moments(w2.grid.mom, tiny_cfg.z_size)
     np.testing.assert_allclose(canonical(n_eng, origin)[occ], n_sum[occ], rtol=1e-6)
     # negative evidence: occupied-wins zeros; elsewhere the summed passes
-    ev = canonical(w2.grid.evidence, origin)
+    ev = canonical(w2.evidence, origin)
     assert (ev[occ] == 0).all()
     np.testing.assert_array_equal(ev[~occ], pass_sum[~occ])
 
@@ -226,7 +226,7 @@ def test_batched_replay_checkpoint_resume(tiny_cfg, tmp_path):
         np.asarray(full_world.grid.hit), np.asarray(resumed_world.grid.hit)
     )
     np.testing.assert_array_equal(
-        np.asarray(full_world.grid.evidence), np.asarray(resumed_world.grid.evidence)
+        np.asarray(full_world.evidence), np.asarray(resumed_world.evidence)
     )
 
 
@@ -281,7 +281,7 @@ def test_ingest_strategies_agree(tiny_cfg):
     wb, pb = outs["scatter"]
     np.testing.assert_array_equal(np.asarray(wa.grid.hit), np.asarray(wb.grid.hit))
     np.testing.assert_array_equal(np.asarray(wa.grid.miss), np.asarray(wb.grid.miss))
-    np.testing.assert_array_equal(np.asarray(wa.grid.evidence), np.asarray(wb.grid.evidence))
+    np.testing.assert_array_equal(np.asarray(wa.evidence), np.asarray(wb.evidence))
     # the two strategies are different XLA programs: identical math, but
     # fusion (FMA) differences leave ~1-ulp f32 noise in the float channels
     np.testing.assert_allclose(np.asarray(wa.grid.min_height), np.asarray(wb.grid.min_height), atol=1e-6)

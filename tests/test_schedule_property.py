@@ -63,7 +63,7 @@ def test_schedule_determinism_and_invariants(schedule):
     # occupied voxels carry zero negative evidence; all counters non-negative
     w = g1.world_state
     hit = np.asarray(w.grid.hit)
-    ev = np.asarray(w.grid.evidence)
+    ev = np.asarray(w.evidence)
     miss = np.asarray(w.grid.miss)
     assert (hit >= 0).all() and (miss >= 0).all() and (ev >= 0).all()
     if bool(w.valid):
