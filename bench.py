@@ -226,26 +226,29 @@ def _run_combine(args, cfg, scans, masks, egos, n_distinct):
     ego = egos[(cfg.buffer_size - 1) % n_distinct]
 
     def step(carry, i):
-        world = carry
+        buf, world = carry
         # perturb the world's hit counts by a data-dependent 0/1 so each
         # iteration's combine depends on the previous one (no CSE, no overlap)
         world, products, _ = pipeline.combine(cfg, buf, world, ego)
         probe = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in products)
         bump = (probe > -1.0).astype(jnp.int32)  # always 1, but data-dependent
         world = world._replace(grid=world.grid._replace(hit=world.grid.hit + bump))
-        return world, probe
+        return (buf, world), probe
 
+    # buf must be an ARGUMENT, not a closure: closed-over device arrays are
+    # serialized as literals into the lowered program, and the ~0.9 GB buffer
+    # exceeds the axon tunnel's remote-compile request limit (HTTP 413)
     @jax.jit
-    def run(world):
-        world, probe = jax.lax.scan(step, world, jnp.arange(args.steps))
+    def run(buf, world):
+        (_, world), probe = jax.lax.scan(step, (buf, world), jnp.arange(args.steps))
         return world, probe
 
-    out = run(world)
+    out = run(buf, world)
     jax.block_until_ready(out)
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        out = run(world)
+        out = run(buf, world)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     best = min(times)
@@ -305,12 +308,27 @@ def _run_async(args, cfg, terrain):
     counts = [0, 0]
 
     def producer(s):
+        # pace to a real sensor rate (OS1 spins at 10/20 Hz) and sync each
+        # scan like the reference's per-scan cell-count copy (gvom.py:147).
+        # An unthrottled hot loop floods the single device stream: the
+        # combine's host sync then waits behind an unbounded ingest backlog
+        # and the bench appears to hang (measured: >30 min without output).
+        period = 1.0 / 20.0
+        nxt = time.monotonic()
         i = 0
         while not stop.is_set():
             pts, ego = sensor_scans[s][i % n_per]
-            engine.process_pointcloud(pts, ego)
+            ok = engine.process_pointcloud(pts, ego)
+            if ok is not None:
+                ok.block_until_ready()
             counts[s] += 1
             i += 1
+            nxt += period
+            delay = nxt - time.monotonic()
+            if delay > 0:
+                time.sleep(delay)
+            else:
+                nxt = time.monotonic()
 
     threads = [threading.Thread(target=producer, args=(s,), daemon=True) for s in range(2)]
     for t in threads:

@@ -172,13 +172,14 @@ class Gvom:
             self.metrics.bump("combines")
         cfg = self.config
         origin_world = products.origin_world(cfg)
-        return (
-            origin_world,
-            np.asarray(products.positive_obstacle),
-            np.asarray(products.negative_obstacle),
-            np.asarray(products.roughness),
-            np.asarray(products.visibility),
+        # one batched D2H transfer: separate np.asarray() calls cost one
+        # device roundtrip EACH (~25-70 ms through the axon tunnel; real on
+        # any remote-dispatch deployment), measured 4x the combine itself
+        pos, neg, rough, vis = jax.device_get(
+            (products.positive_obstacle, products.negative_obstacle,
+             products.roughness, products.visibility)
         )
+        return (origin_world, pos, neg, rough, vis)
 
     # ------------------------------------------------------------------
     def _canonical(self, arr: np.ndarray, origin: np.ndarray) -> np.ndarray:

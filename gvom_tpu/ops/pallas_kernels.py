@@ -85,9 +85,13 @@ _OH_VAL = {"int8": jnp.int8, "bf16": jnp.bfloat16}[
                      # to VPU emulation under Mosaic (measured ~4× slower on
                      # the far-tier histograms).
 
-_RAY_TIER64 = os.environ.get("GVOM_RAY_TIER64", "") == "1"  # opt-in mod-64
-                     # near tier for raycast steps 1..31 (exactness pinned in
-                     # tests; default flips only on a measured TPU win)
+_RAY_TIER64 = os.environ.get("GVOM_RAY_TIER64", "1") == "1"  # mod-64 near
+                     # tier for raycast steps 1..31 (exactness pinned in
+                     # tests). Default ON since r3: the block-write placement
+                     # removed the per-tier placement matmuls that made it
+                     # break-even in r2 — now a measured −0.33 ms/scan on v5e
+                     # (82.2 → 84.5 scans/s contract mode). GVOM_RAY_TIER64=0
+                     # restores the two-tier layout.
 
 
 def use_fast_path() -> bool:
