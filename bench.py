@@ -35,7 +35,8 @@ def main():
                          "fixed dispatch per call; 64 steps amortize it to <1 ms/scan "
                          "— the steady-state number a resident deployment sees)")
     ap.add_argument("--mode", default="perscan",
-                    choices=["perscan", "batched", "combine", "async", "scaling"],
+                    choices=["perscan", "batched", "combine", "async", "scaling",
+                             "scaling-worker"],
                     help="perscan: one combine per scan (reference contract); "
                          "batched: BASELINE config #4 — batch of scans per step, one combine; "
                          "combine: combine_maps alone (the reference's 9-12 Hz headline); "
@@ -56,6 +57,14 @@ def main():
                          "README.md:49; at 100 scans/s, K=8 equals a 12.5 Hz timer). "
                          "K=1 is the strictest form: a full combine per scan")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--processes", type=positive_int, default=1,
+                    help="scaling mode: run the SAME 8-virtual-device global mesh as "
+                         "1 process vs N processes (localhost Gloo via jax.distributed) "
+                         "— constant compute, so the ratio isolates the cross-process "
+                         "collective cost end-to-end (the DCN analog this box allows)")
+    ap.add_argument("--pid", type=int, default=0, help=argparse.SUPPRESS)
+    ap.add_argument("--port", type=int, default=0, help=argparse.SUPPRESS)
+    ap.add_argument("--total-devices", type=int, default=8, help=argparse.SUPPRESS)
     ap.add_argument("--xy-size", type=int, default=256)
     ap.add_argument("--z-size", type=int, default=64)
     ap.add_argument("--points", type=int, default=131072, help="OS1-128 density")
@@ -64,13 +73,29 @@ def main():
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
+    if args.mode == "scaling" and args.processes > 1:
+        # parent: pure process orchestration — jax must NOT be imported here
+        _run_scaling_dist(args)
+        return
+    if args.mode == "scaling-worker":
+        # per-worker virtual device count BEFORE jax import
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.total_devices // args.processes}"
+        ).strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
     import jax
 
-    if args.cpu:
+    if args.cpu or args.mode == "scaling-worker":
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
     import jax.numpy as jnp
+
+    if args.mode == "scaling-worker":
+        _run_scaling_worker(args)
+        return
 
     from gvom_tpu.config import GvomConfig
     from gvom_tpu.io import synthetic
@@ -536,6 +561,152 @@ def _run_scaling(args, cfg, scans, masks, egos, n_distinct):
         "raycast": args.raycast,
         "devices": counts,
         "platform": str(all_dev[0].platform),
+    }
+    print(json.dumps(result))
+
+
+def _stage_light(cfg, n_distinct=4):
+    """Deterministic light scan staging for the CPU scaling workers."""
+    import numpy as np
+
+    from gvom_tpu.io import synthetic
+
+    terrain = synthetic.composite_terrain()
+    scans, masks, egos = [], [], []
+    ego = np.array([0.5, 0.0, 1.6])
+    for i in range(n_distinct):
+        ego = ego + np.array([0.45, 0.25, 0.01])
+        pts = synthetic.simulate_lidar_scan(
+            terrain, ego, channels=32, azimuth_steps=max(64, cfg.max_points // 32),
+            max_range=30.0, seed=i,
+        )
+        pad, mask = synthetic.pad_scan(pts, cfg.max_points)
+        scans.append(pad)
+        masks.append(mask)
+        egos.append(ego.astype(np.float32))
+    return np.stack(scans), np.stack(masks), np.stack(egos)
+
+
+def _run_scaling_worker(args):
+    """One process of the N-process distributed scaling run (CPU+Gloo)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gvom_tpu.config import GvomConfig
+    from gvom_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS, init_distributed, make_mesh
+    from gvom_tpu.parallel.sharding import make_batched_step, world_pspecs
+    from gvom_tpu.types import empty_world_state
+
+    if args.processes > 1:
+        init_distributed(
+            coordinator=f"127.0.0.1:{args.port}",
+            num_processes=args.processes,
+            process_id=args.pid,
+        )
+    assert len(jax.devices()) == args.total_devices, (len(jax.devices()), args.total_devices)
+
+    cfg = GvomConfig(xy_size=args.xy_size, z_size=args.z_size,
+                     max_points=args.points, buffer_size=4)
+    n_distinct = 4
+    scans_np, masks_np, egos_np = _stage_light(cfg, n_distinct)
+
+    mesh = make_mesh(jax.devices())
+    B = args.batch * args.total_devices
+    reps = np.arange(B) % n_distinct
+    bscans, bmasks = scans_np[reps], masks_np[reps]
+    begos = egos_np[reps] + (np.arange(B, dtype=np.float32)[:, None]
+                             * np.array([0.02, 0.01, 0.0], np.float32))
+
+    def to_global(arr, spec):
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+    gs = to_global(bscans, P((DATA_AXIS, SPACE_AXIS), None, None))
+    gm = to_global(bmasks, P((DATA_AXIS, SPACE_AXIS), None))
+    ge = to_global(begos, P((DATA_AXIS, SPACE_AXIS), None))
+
+    step = make_batched_step(_batched_ray_budget(cfg, B), mesh, raycast_impl="xla")
+    world = jax.device_put(
+        empty_world_state(cfg),
+        jax.tree_util.tree_map(lambda spec: NamedSharding(mesh, spec), world_pspecs(),
+                               is_leaf=lambda x: isinstance(x, P)),
+    )
+
+    # warm up (compile), then timed repeats of --steps sequential fused steps
+    w, _ = step(world, gs, gm, ge)
+    jax.block_until_ready(w)
+    times = []
+    for _ in range(max(1, args.repeats)):
+        w = world
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            w, _ = step(w, gs, gm, ge)
+        jax.block_until_ready(w)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    if args.pid == 0:
+        print(json.dumps({"worker_best_s": best, "batch_total": B, "steps": args.steps}))
+
+
+def _run_scaling_dist(args):
+    """Parent: time the SAME global mesh as 1 process vs N processes.
+
+    Constant devices and per-device batch ⇒ constant compute; the runtime
+    ratio is the end-to-end cost of crossing the process boundary (Gloo over
+    localhost — the DCN analog available on this box). Artifact for
+    SURVEY §2.3 item 4 / BASELINE's multi-host scaling row."""
+    import socket
+    import subprocess
+
+    here = os.path.abspath(__file__)
+
+    def launch(procs):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        workers = []
+        for pid in range(procs):
+            cmd = [
+                sys.executable, here, "--mode", "scaling-worker",
+                "--processes", str(procs), "--pid", str(pid), "--port", str(port),
+                "--total-devices", str(args.total_devices),
+                "--xy-size", str(args.xy_size), "--z-size", str(args.z_size),
+                "--points", str(args.points), "--batch", str(args.batch),
+                "--steps", str(args.steps), "--repeats", str(args.repeats),
+            ]
+            env = dict(os.environ)
+            workers.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True, env=env))
+        outs = [w.communicate(timeout=3600)[0] for w in workers]
+        for w in workers:
+            if w.returncode != 0:
+                raise SystemExit(f"scaling worker failed (rc={w.returncode})")
+        for o in outs:
+            for line in o.splitlines():
+                if line.startswith("{"):
+                    return json.loads(line)
+        raise SystemExit("no worker JSON found")
+
+    r1 = launch(1)
+    rn = launch(args.processes)
+    t1, tn = r1["worker_best_s"], rn["worker_best_s"]
+    result = {
+        "metric": f"dist_scaling_{args.total_devices}dev_{args.processes}proc_gloo",
+        "value": round(t1 / tn, 3),
+        "unit": "1proc/Nproc runtime ratio (1.0 = free process boundary)",
+        "vs_baseline": round((t1 / tn) / 0.8, 2),
+        "best_s_1proc": round(t1, 4),
+        f"best_s_{args.processes}proc": round(tn, 4),
+        "scans_per_s_1proc": round(r1["batch_total"] * r1["steps"] / t1, 2),
+        f"scans_per_s_{args.processes}proc": round(rn["batch_total"] * rn["steps"] / tn, 2),
+        "batch_total": r1["batch_total"],
+        "steps": args.steps,
+        "grid": [args.xy_size, args.xy_size, args.z_size],
+        "points": args.points,
+        "note": "same 8-virtual-CPU-device mesh both runs; ratio isolates the cross-process (Gloo) collective cost at constant compute",
     }
     print(json.dumps(result))
 
