@@ -201,6 +201,41 @@ def cmd_selftest(args):
         ok_all &= dh == 0 and dmh == 0.0 and rel <= mom_tol
         _ = dm
 
+        # slab (y_window) forms — the sharded ingest's per-device kernels
+        # (slab one-hot targets + relabeled y-dominant worklist + point
+        # prefilter). Raycast/hit/minh must be exact vs the XLA slab path;
+        # moments to the same precision-mode tolerance.
+        Ys = args.grid // 4
+        ys0 = (seed + 1) * Ys % args.grid
+
+        @jax.jit
+        def slab_pair(pw, keep):
+            ray_pl = pallas_kernels.ray_pass_counts_matmul(
+                cfg, pw, keep, e, origin, interpret=interpret, y_window=(ys0, Ys))
+            ray_x = raycast.ray_pass_counts_xla(cfg, pw, keep, e, origin,
+                                                y_window=(ys0, Ys))
+            hit_pl, mh_pl, mom_pl = pallas_kernels.fused_point_moments(
+                cfg, pw, keep, origin, interpret=interpret, y_window=(ys0, Ys))
+            hit_f, mh_f, mom_f = pallas_kernels.fused_point_moments(
+                cfg, pw, keep, origin, interpret=interpret)
+            sl = lambda x, axis=1: jax.lax.dynamic_slice_in_dim(x, ys0, Ys, axis=axis)
+            return (
+                jnp.abs(ray_pl - ray_x).max(),
+                jnp.abs(hit_pl - sl(hit_f)).max(),
+                jnp.abs(mh_pl - sl(mh_f)).max(),
+                jnp.abs(mom_pl - sl(mom_f, 2)).max()
+                / (jnp.abs(mom_f).max() + 1e-30),
+            )
+
+        sray, sh, smh, srel = [float(x) for x in slab_pair(pw, keep)]
+        checks[f"slab_scan{seed}_ray_maxdiff"] = sray
+        checks[f"slab_scan{seed}_hit_maxdiff"] = sh
+        checks[f"slab_scan{seed}_minh_maxdiff"] = smh
+        checks[f"slab_scan{seed}_mom_maxreldiff"] = srel
+        # slab vs full-kernel moments: identical math, different chunk
+        # boundaries (prefilter) → ulp-level f32 reassociation only
+        ok_all &= sray == 0 and sh == 0 and smh == 0.0 and srel <= mom_tol
+
     verdict = {
         "selftest": "pallas_vs_xla_compiled",
         "backend": backend,

@@ -66,8 +66,9 @@ def ingest_scan(
     `origin` pins the map frame (batched replay rasterizes all scans into a
     common frame); default is the reference's ego-centered origin.
     `y_window` = (ys0, Ys) restricts every accumulated array to that torus
-    y-slab (the spatially sharded ingest; XLA paths only) — all grid arrays
-    come back [X, Ys, Z]-shaped and scan_ok refers to the slab.
+    y-slab (the spatially sharded ingest) — all grid arrays come back
+    [X, Ys, Z]-shaped and scan_ok refers to the slab. Both the Pallas and
+    the XLA paths take the window (SURVEY §2.3 item 2).
     """
     ego = ego_position.astype(jnp.float32)
     p, keep = binning.prepare_points(cfg, points, valid, ego, transform)
@@ -77,7 +78,7 @@ def ingest_scan(
                                      y_window=y_window)
 
     use_fused = False
-    if y_window is None and binning_impl in ("auto", "fused"):
+    if binning_impl in ("auto", "fused"):
         try:
             from gvom_tpu.ops import pallas_kernels
         except ImportError:  # pallas unavailable: 'auto' degrades to XLA
@@ -87,7 +88,9 @@ def ingest_scan(
         if pallas_kernels is not None:
             use_fused = binning_impl == "fused" or pallas_kernels.use_fast_path()
     if use_fused:
-        hit, min_height, mom = pallas_kernels.fused_point_moments(cfg, p, keep, origin)
+        hit, min_height, mom = pallas_kernels.fused_point_moments(
+            cfg, p, keep, origin, y_window=y_window
+        )
     elif y_window is not None:
         hit, min_height, mom = binning.slab_point_moments(
             cfg, p, keep, origin, y_window[0], y_window[1]

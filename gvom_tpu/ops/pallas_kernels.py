@@ -111,8 +111,10 @@ _SBLOCK_Z = 22   # instance AND per separate step-body (measured on v5e), so
                  # a few MB (vmem_limit_bytes raised above the 16 MB default).
 
 
-def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int, CHUNK: int):
-    def kernel(meta_ref, startuv_ref, su_ref, sv_ref, out_ref, aj_ref, ac_ref):
+def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int, CHUNK: int,
+                         RELABEL: bool = False, U_RAW: bool = False,
+                         V_GRID: int = None):
+    def kernel(meta_ref, startuv_ref, utgt_ref, vtgt_ref, su_ref, sv_ref, out_ref, aj_ref, ac_ref):
         """One (group-pair, step-block) instance.
 
         When PAIRED, each instance covers groups (2a, 2a+1): their chunks are
@@ -130,7 +132,15 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int, CHUNK: 
         active-step table built once per instance — per-iteration index math
         is O(1) scalar ops via an SMEM active-step table.
 
-        meta_ref (SMEM): [G, S+1, 5] int32 (abase, nchunks, first, count, dom_ok)
+        meta_ref (SMEM): [G, S+1, 6] int32 (abase, nchunks, first, count,
+        dom_ok, step). With RELABEL the row index is a LOCAL output row (the
+        sharded slab ingest's slab-local dominant row) and the absolute step
+        comes from column 5 per half; without it the row index IS the step
+        and column 5 is redundant.
+        utgt/vtgt (VMEM): [1, UO] / [1, n_sub·V] int32 one-hot column
+        targets. Full-grid callers pass iotas (plain window coordinates);
+        the slab caller passes the slab's torus→window column map, which
+        makes the one-hot itself select only slab columns.
         startuv_ref (SMEM): [G, 2] f32 — start_rel components on the (u, v)
         axes. Hist columns are WINDOW-relative (the caller torus-rolls the
         final placed grid once).
@@ -154,9 +164,8 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int, CHUNK: 
         n_sub = 2 if PAIRED else 1
         V = out_ref.shape[3] // n_sub
         K = n_sub * CHUNK
-        # build iotas in i32 then narrow: 16-bit iota is unsupported by Mosaic
-        iuf = jax.lax.broadcasted_iota(jnp.int32, (K, UO), 1).astype(_OH_IDX)
-        iv2 = jax.lax.broadcasted_iota(jnp.int32, (K, n_sub * V), 1).astype(_OH_IDX)
+        iuf = utgt_ref[0][None, :].astype(_OH_IDX)     # [1, UO]
+        iv2 = vtgt_ref[0][None, :].astype(_OH_IDX)     # [1, n_sub*V]
         rows = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
         half1 = rows >= CHUNK               # second half ⇔ pair's odd group
         rin = rows % CHUNK
@@ -183,9 +192,13 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int, CHUNK: 
         t_cnt = jnp.int32(0)
         cum = jnp.int32(0)
         for j in range(SB):
-            s = S_OFF + sb * SB + j + 1  # steps are 1-based (gvom.py:1127)
+            # without RELABEL the table row IS the (1-based) step; with it,
+            # rows are slab-local output rows and the step rides in meta[...,5]
+            s = (j + 1) if RELABEL else (S_OFF + sb * SB + j + 1)
             nch = jnp.maximum(meta_ref[g0, s, 1], meta_ref[g1, s, 1])
-            w = jnp.where((meta_ref[g0, s, 3] > 0) | (meta_ref[g1, s, 3] > 0), nch, 0)
+            act0 = (meta_ref[g0, s, 3] > 0) & (meta_ref[g0, s, 4] > 0)
+            act1 = (meta_ref[g1, s, 3] > 0) & (meta_ref[g1, s, 4] > 0)
+            w = jnp.where(act0 | act1, nch, 0)   # dom-dead steps cost nothing
             # branchless: inactive steps overwrite the CURRENT (unfilled)
             # slot, which the next active step then writes correctly —
             # t_cnt only advances on active steps
@@ -199,8 +212,14 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int, CHUNK: 
             t = t + (i >= ac_ref[t + 1]).astype(jnp.int32)
             j = aj_ref[t]
             c = i - ac_ref[t]
-            s = S_OFF + sb * SB + j + 1
-            sf = s.astype(jnp.float32)
+            if RELABEL:
+                s = j + 1
+                # absolute step per HALF (the two groups hit a slab row at
+                # different steps); exact integers, so the f32 cast is exact
+                sf = sel(meta_ref[g0, s, 5], meta_ref[g1, s, 5]).astype(jnp.float32)
+            else:
+                s = S_OFF + sb * SB + j + 1
+                sf = s.astype(jnp.float32)
             ab0, ab1 = meta_ref[g0, s, 0], meta_ref[g1, s, 0]
             nc = sel(meta_ref[g0, s, 1], meta_ref[g1, s, 1])
             first = sel(meta_ref[g0, s, 2], meta_ref[g1, s, 2])
@@ -224,12 +243,12 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int, CHUNK: 
             u = jnp.floor(start_u + sf * su).astype(jnp.int32)
             v = jnp.floor(start_v + sf * sv).astype(jnp.int32)
             live = (c < nc) & (dom_ok > 0) & (gi >= first) & (gi < first + count)
-            okv = live & (v >= 0) & (v < V)
+            okv = live & (v >= 0) & (v < (V_GRID if V_GRID is not None else V))
             vv = jnp.where(okv, v + voff, -1).astype(_OH_IDX)
             ohv = (vv[:, None] == iv2).astype(_OH_VAL)
 
             oku = okv & (u >= 0) & (u < U_GRID)
-            if UO < U_GRID:
+            if UO < U_GRID and not U_RAW:
                 # UO is a power of two; mod compiles to a lane AND
                 uu = jnp.where(oku, jax.lax.rem(u, jnp.int32(UO)), -1)
             else:
@@ -248,39 +267,52 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int, CHUNK: 
 
 
 def _run_hist(meta, startuv, su, sv, G, S, U, V, interpret=False, paired=True,
-              SB=_SBLOCK_XY, u_mod=None, s_off=0, chunk=_CHUNK):
+              SB=_SBLOCK_XY, u_mod=None, s_off=0, chunk=_CHUNK,
+              utgt=None, vtgt=None, relabel=False, v_out=None, v_grid=None):
     """Histograms for steps s_off+1 .. s_off+S (meta is indexed by absolute
-    step). u_mod, when set, is the mod-UO windowed column count — valid only
-    for steps with 2s+1 ≤ u_mod − 2 (caller's responsibility)."""
+    step — or, with relabel, by slab-local output row, carrying the absolute
+    step in its 6th column). u_mod, when set, is the mod-UO windowed column
+    count — valid only for steps with 2s+1 ≤ u_mod − 2 (caller's
+    responsibility). utgt/vtgt override the one-hot column targets (the slab
+    callers' torus→window maps); defaults are plain iotas."""
     UO = u_mod or U
+    VO = v_out or V
     S_pad = ((S + SB - 1) // SB) * SB
     if meta.shape[1] < s_off + S_pad + 1:
         meta = jnp.pad(meta, ((0, 0), (0, s_off + S_pad + 1 - meta.shape[1]), (0, 0)))
     n_sub = 2 if paired else 1
     n_inst = G // n_sub
+    u_raw = utgt is not None
+    if utgt is None:
+        utgt = jnp.arange(UO, dtype=jnp.int32)
+    if vtgt is None:
+        vtgt = jnp.arange(n_sub * VO, dtype=jnp.int32)
     out = pl.pallas_call(
-        _hist_kernel_factory(SB, paired, U, s_off, chunk),
+        _hist_kernel_factory(SB, paired, U, s_off, chunk, RELABEL=relabel,
+                             U_RAW=u_raw, V_GRID=v_grid),
         grid=(n_inst, S_pad // SB),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, SB, UO, n_sub * V), lambda a, sb: (a, sb, 0, 0), memory_space=pltpu.VMEM
+            (1, SB, UO, n_sub * VO), lambda a, sb: (a, sb, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_inst, S_pad, UO, n_sub * V), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_inst, S_pad, UO, n_sub * VO), jnp.float32),
         scratch_shapes=[
             pltpu.SMEM((SB + 2,), jnp.int32),
             pltpu.SMEM((SB + 2,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(meta, startuv, su, sv)
+    )(meta, startuv, utgt[None, :], vtgt[None, :], su, sv)
     if paired:
         # [a, s, UO, 2V] → [2a+half, s, UO, V]
-        out = out.reshape(n_inst, S_pad, UO, 2, V).transpose(0, 3, 1, 2, 4).reshape(G, S_pad, UO, V)
+        out = out.reshape(n_inst, S_pad, UO, 2, VO).transpose(0, 3, 1, 2, 4).reshape(G, S_pad, UO, VO)
     return out[:, :S]
 
 
@@ -291,7 +323,15 @@ def ray_pass_counts_matmul(
     ego_position: jnp.ndarray,
     origin: jnp.ndarray,
     interpret: bool = False,
+    y_window=None,
 ) -> jnp.ndarray:
+    """y_window = (ys0, Ys): accumulate only the torus y-slab [ys0, ys0+Ys)
+    → output [X, Ys, Z] (matches ray_pass_counts_xla's slab form). Slab
+    work scales down three ways: x/z-dominant groups cut each ray's kmax at
+    its last possible slab crossing (u/v on the y axis are monotone per
+    ray), y-dominant groups iterate ONLY the ≤ Ys steps whose dominant row
+    lands in the slab (relabeled worklist), and the one-hot targets select
+    slab columns directly so the hist/matmul width is Ys."""
     X, Y, Z = cfg.grid_shape
     S = cfg.ray_steps
     start, step, delta, budget, dom = raycast_mod.ray_geometry(cfg, points, keep, ego_position)
@@ -330,6 +370,34 @@ def ray_pass_counts_matmul(
     s_exit = jnp.floor(jnp.min(per_axis, axis=1)).astype(jnp.int32) + 2
     kmax = jnp.minimum(kmax, jnp.maximum(s_exit, 0))
 
+    if y_window is not None:
+        # slab kmax cut for the non-y-dominant groups: their y coordinate
+        # u(s)/v(s) = start_y + s·sy is monotone, so the LAST step that can
+        # land in the slab's (possibly wrapped) window-y interval(s) bounds
+        # the useful march. Conservative ±2 margins; the in-kernel target
+        # match stays exact, this only trims streamed rows (≈1/n_space).
+        ys0, Ys = y_window
+        sy = step[:, 1]
+        u0 = start_rel[1]
+        a = jnp.mod(ys0 - origin[1], Y)
+        hi1 = jnp.minimum(a + Ys, Y) - 1
+        hi2 = a + Ys - Y - 1                     # ≥ 0 only when the window wraps
+
+        def exit_step(lo, hi, valid):
+            lo_f, hi_f = lo.astype(jnp.float32), hi.astype(jnp.float32)
+            tpos = (hi_f + 1.0 - u0) / jnp.where(sy > 0, sy, 1.0)
+            tneg = (lo_f - u0) / jnp.where(sy < 0, sy, 1.0)
+            t = jnp.where(sy > 0, tpos, jnp.where(sy < 0, tneg, jnp.float32(1e9)))
+            in0 = (u0 >= lo_f) & (u0 < hi_f + 1.0)
+            t = jnp.where(sy == 0, jnp.where(in0, jnp.float32(1e9), -1.0), t)
+            t = jnp.where(valid, t, -1.0)
+            return jnp.floor(jnp.minimum(t, jnp.float32(1e8))).astype(jnp.int32) + 2
+
+        e1 = exit_step(a, hi1, True)
+        e2 = exit_step(jnp.int32(0), hi2, hi2 >= 0)
+        slab_cut = jnp.maximum(jnp.maximum(e1, e2), 0)
+        kmax = jnp.where(dom == 1, kmax, jnp.minimum(kmax, slab_cut))
+
     # sort rays by (group, descending kmax) so live rays at step s are a
     # prefix; group and kmax are recovered from the key (3-operand sort)
     key = group * (S + 2) + (S + 1 - kmax)
@@ -364,6 +432,13 @@ def ray_pass_counts_matmul(
     dom_size = jnp.array([X, X, Y, Y, Z, Z])
     rows = jnp.floor(start_rel[dom_axis][:, None] + dom_sign[:, None] * s_ar[None, :]).astype(jnp.int32)
     rows_ok = (rows >= 0) & (rows < dom_size[:, None])     # [6, S]
+    if y_window is not None:
+        # y-dominant groups: only steps whose dominant row lands in the
+        # torus slab do any work (the relabeled worklist below iterates
+        # exactly those)
+        slab_r = jnp.mod(rows[2:4] + origin[1], Y) - ys0   # [2, S] slab-local row
+        slab_hit = (slab_r >= 0) & (slab_r < Ys)
+        rows_ok = rows_ok.at[2:4].set(rows_ok[2:4] & slab_hit)
     # hist u/v columns and these rows are all WINDOW-relative; the placed
     # grid is torus-rolled once at the end (cheaper than per-column mod
     # remaps inside the kernel)
@@ -379,6 +454,8 @@ def ray_pass_counts_matmul(
         ],
         axis=0,
     )
+    step_col = jnp.arange(1, S + 1, dtype=jnp.int32)
+
     def build_meta(groups, chunk=_CHUNK):
         m = []
         for g in groups:
@@ -387,10 +464,74 @@ def ray_pass_counts_matmul(
             abase = (off // chunk) * chunk               # aligned window start
             nchunks = (off + cnts - abase + chunk - 1) // chunk
             ok = rows_ok[g].astype(jnp.int32)
-            m.append(jnp.stack([abase, nchunks, off, cnts, ok], axis=1))
-        meta = jnp.stack(m, axis=0)                       # [G, S, 5]
+            m.append(jnp.stack([abase, nchunks, off, cnts, ok, step_col], axis=1))
+        meta = jnp.stack(m, axis=0)                       # [G, S, 6]
         # kernel indexes meta[g, s] with s 1-based → prepend a dummy row
-        return jnp.concatenate([jnp.zeros((len(groups), 1, 5), jnp.int32), meta], axis=1)
+        return jnp.concatenate([jnp.zeros((len(groups), 1, 6), jnp.int32), meta], axis=1)
+
+    def place_axis(h_pos, h_neg, axis_start, size):
+        # h_pos/h_neg: [S_a, A, B] hists of the +1 / −1 sign groups, step
+        # s = 1..S_a at row x0 + s / x0 − s (x0 = floor of the start coord)
+        S_a = h_pos.shape[0]
+        x0 = jnp.floor(axis_start).astype(jnp.int32)
+        blk = jnp.concatenate(
+            [jnp.flip(h_neg, 0), jnp.zeros((1,) + h_pos.shape[1:], h_pos.dtype), h_pos], 0
+        )  # row j ↔ window row x0 − S_a + j
+        xw = x0 - S_a + jnp.arange(2 * S_a + 1)
+        blk = blk * ((xw >= 0) & (xw < size)).astype(blk.dtype)[:, None, None]
+        zpad = jnp.zeros((size,) + h_pos.shape[1:], blk.dtype)
+        blkp = jnp.concatenate([zpad, blk, zpad], 0)
+        # window row x reads padded row x + size + S_a − x0. dynamic_slice's
+        # own start clamping is safe: it can only bite when x0 is so far
+        # outside [−S_a−1, size+S_a] that every block row was masked zero
+        return jax.lax.dynamic_slice(
+            blkp, (size + S_a - x0, 0, 0), (size,) + h_pos.shape[1:]
+        )
+
+    if y_window is not None:
+        # ---- slab form: three calls, outputs already slab-width on y ----
+        # one-hot column targets: slab torus column c ↔ window y coordinate
+        # (ys0 + c − oy) mod Y — the one-hot itself selects slab columns
+        ytgt = jnp.mod(ys0 + jnp.arange(Ys, dtype=jnp.int32) - origin[1], Y)
+
+        # x-dominant pair (u = y → slab targets, v = z)
+        meta01 = build_meta([0, 1])
+        hist01 = _run_hist(meta01, startuv[:2], su_s, sv_s, 2, S, Y, Z, interpret,
+                           paired=True, SB=_SBLOCK_XY, u_mod=Ys, utgt=ytgt)
+
+        # y-dominant pair: relabeled worklist — row j of the output IS the
+        # slab-local dominant row, meta carries each half's absolute step
+        mcols = []
+        for g in (2, 3):
+            off = jnp.broadcast_to(offsets[g], (S,))
+            cnts = live_gs[g, 1:]
+            abase = (off // _CHUNK) * _CHUNK
+            nchunks = (off + cnts - abase + _CHUNK - 1) // _CHUNK
+            hit = rows_ok[g]                     # slab-masked above
+            src = jnp.stack([abase, nchunks, off, cnts,
+                             hit.astype(jnp.int32), step_col], axis=1)
+            r = jnp.mod(rows[g] + origin[1], Y) - ys0
+            tgt = jnp.where(hit, r, Ys)          # inactive steps → dropped row
+            mcols.append(jnp.zeros((Ys + 1, 6), jnp.int32).at[tgt].set(src)[:Ys])
+        meta_rel = jnp.concatenate(
+            [jnp.zeros((2, 1, 6), jnp.int32), jnp.stack(mcols)], axis=1)
+        hist_y = _run_hist(meta_rel, startuv[2:4], su_s, sv_s, 2, Ys, X, Z,
+                           interpret, paired=True, SB=Ys, relabel=True)
+
+        # z-dominant groups (u = x, v = y → slab targets)
+        meta_z = build_meta([4, 5], chunk=_CHUNK_FAR)
+        Szs = min(S, Z + 2)
+        hist_zs = _run_hist(meta_z[:, : Szs + 1], startuv[4:], su_s, sv_s, 2, Szs,
+                            X, Y, interpret, paired=False, SB=_SBLOCK_Z,
+                            chunk=_CHUNK_FAR, vtgt=ytgt, v_out=Ys, v_grid=Y)
+
+        px = place_axis(hist01[0], hist01[1], start_rel[0], X)   # [X, Ys, Z]
+        py = hist_y[0] + hist_y[1]                               # [Ys, X, Z] placed
+        pz = place_axis(hist_zs[0], hist_zs[1], start_rel[2], Z)  # [Z, X, Ys]
+        outw = px + py.transpose(1, 0, 2) + pz.transpose(1, 2, 0)
+        # x and z move to torus layout; the y axis is already the torus slab
+        outw = jnp.roll(jnp.roll(outw, origin[0] % X, axis=0), origin[2] % Z, axis=2)
+        return outw.astype(jnp.int32)
 
     # --- xy-dominant kernel: groups 0..3, hist over (u∈[0,256), v=z) ---
     # Split into windowed near tiers (mod-W u columns: at step s the u
@@ -450,24 +591,6 @@ def ray_pass_counts_matmul(
     # block write (a dynamic-slice of the zero-padded per-step stack), not
     # the former [size, S]×[S, U·V] one-hot matmuls: zero FLOPs, one fused
     # read of the hists + one write per axis, and no bf16 operand staging.
-    def place_axis(h_pos, h_neg, axis_start, size):
-        # h_pos/h_neg: [S_a, A, B] hists of the +1 / −1 sign groups, step
-        # s = 1..S_a at row x0 + s / x0 − s (x0 = floor of the start coord)
-        S_a = h_pos.shape[0]
-        x0 = jnp.floor(axis_start).astype(jnp.int32)
-        blk = jnp.concatenate(
-            [jnp.flip(h_neg, 0), jnp.zeros((1,) + h_pos.shape[1:], h_pos.dtype), h_pos], 0
-        )  # row j ↔ window row x0 − S_a + j
-        xw = x0 - S_a + jnp.arange(2 * S_a + 1)
-        blk = blk * ((xw >= 0) & (xw < size)).astype(blk.dtype)[:, None, None]
-        zpad = jnp.zeros((size,) + h_pos.shape[1:], blk.dtype)
-        blkp = jnp.concatenate([zpad, blk, zpad], 0)
-        # window row x reads padded row x + size + S_a − x0. dynamic_slice's
-        # own start clamping is safe: it can only bite when x0 is so far
-        # outside [−S_a−1, size+S_a] that every block row was masked zero
-        return jax.lax.dynamic_slice(
-            blkp, (size + S_a - x0, 0, 0), (size,) + h_pos.shape[1:]
-        )
 
     px = place_axis(hist_xy[0], hist_xy[1], start_rel[0], X)   # [X, Y, Z]
     py = place_axis(hist_xy[2], hist_xy[3], start_rel[1], Y)   # [Y, X, Z]
@@ -592,8 +715,12 @@ def _moment_kernel_factory(cfg: GvomConfig, U: int, V: int, ry: int, rz: int, W:
         # never match (sentinel).
         oy = org_ref[0, 1]
         oz = org_ref[0, 2]
+        ys0 = org_ref[0, 3]  # torus-y slab base (0 for full grid): column c
+        # targets torus y = ys0 + c, so the SAME kernel serves full-grid
+        # (U = Y) and slab (U = Ys) ingest — the sharded ingest's per-device
+        # y-slab (parallel/sharding.py, SURVEY §2.3 item 2)
         col = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, W * U), 1)
-        ywin = (col % U - oy) % Y + ry
+        ywin = (ys0 + col % U - oy) % Y + ry
         keyc = (xbase + col // U) * _MOM_RADIX + ywin
         ywin_f = ywin.astype(jnp.float32)
         zio_raw = jax.lax.broadcasted_iota(jnp.int32, (_PCHUNK, V), 1)
@@ -869,11 +996,18 @@ def fused_point_moments(
     keep: jnp.ndarray,
     origin: jnp.ndarray,
     interpret: bool = False,
+    y_window=None,
 ):
     """Returns (hit [X,Y,Z] i32, min_height [X,Y,Z] f32, mom [X,5,Y,Vp] f32) —
     endpoint counts, per-voxel min sub-voxel z, and raw target-voxel-local
     moment sums in the packed VoxelGrid.mom layout (ops.moments), matching
-    binning.bin_points + moments.box_aggregate_moments + pack_moments."""
+    binning.bin_points + moments.box_aggregate_moments + pack_moments.
+
+    y_window = (ys0, Ys): compute only the torus y-slab [ys0, ys0+Ys) —
+    outputs shrink to [X, Ys, Z] / [X, 5, Ys, Vp] and, because points whose
+    ±ry neighborhood misses the slab are masked dead BEFORE the voxel sort,
+    the matmul rows streamed (the kernel's bound) scale with the slab's
+    point share ≈ 1/n_space. Matches binning.slab_point_moments."""
     from gvom_tpu.ops import grid as gridops
     from gvom_tpu.ops.binning import moment_pad
 
@@ -884,7 +1018,8 @@ def fused_point_moments(
     Xp = X + 2 * rx
     from gvom_tpu.ops.moments import packed_lanes
 
-    U = Y                                   # torus y columns (exact)
+    ys0, Ys = (0, Y) if y_window is None else y_window
+    U = Ys                                  # torus y columns (exact)
     V = packed_lanes(Z)                     # TWO packed z-factor halves + padding
     res = gridops.resolution_vector(cfg)
     pn = points / res - origin.astype(jnp.float32)
@@ -902,6 +1037,14 @@ def fused_point_moments(
         & (pp[:, 1] >= 0) & (pp[:, 1] < Yp)
         & (pp[:, 2] >= 0) & (pp[:, 2] < Zp)
     )
+    if y_window is not None:
+        # slab prefilter: a point reaches slab columns iff some torus y in
+        # [ty − ry, ty + ry] lies in [ys0, ys0+Ys). Dead points sort to the
+        # end, so per-x-slice chunk counts (the rows streamed) shrink to the
+        # slab's point share.
+        ty = jnp.mod(uy - ry + origin[1], Y)           # torus y of the endpoint voxel
+        d = jnp.mod(ty - ys0, Y)
+        inb = inb & ((d < Ys + ry) | (d >= Y - ry))
     vid_dead = Xp * Yp * Zp
     vid = jnp.where(inb, (ux * Yp + uy) * Zp + uz, vid_dead)
     big = jnp.float32(3 * max(Xp, Yp, Zp))
@@ -952,7 +1095,9 @@ def fused_point_moments(
     abase = (lo // _PCHUNK) * _PCHUNK
     nchunks = (hi - abase + _PCHUNK - 1) // _PCHUNK
     meta = jnp.stack([abase, nchunks, hi - lo], axis=1)   # [n_inst, 3]
-    org = origin.astype(jnp.int32)[None, :]
+    org = jnp.concatenate(
+        [origin.astype(jnp.int32), jnp.asarray(ys0, jnp.int32)[None]]
+    )[None, :]
     out = pl.pallas_call(
         _moment_kernel_factory(cfg, U, V, ry, rz, W, Y, Z),
         grid=(n_inst,),

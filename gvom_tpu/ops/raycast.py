@@ -117,14 +117,14 @@ def ray_pass_counts(
     impl: str = "auto",
     y_window=None,
 ) -> jnp.ndarray:
-    if y_window is not None and impl == "matmul":
-        raise NotImplementedError("the matmul raycast does not take a y_window yet")
-    if y_window is None and impl in ("auto", "matmul"):
+    if impl in ("auto", "matmul"):
         try:
             from gvom_tpu.ops import pallas_kernels
 
             if impl == "matmul" or pallas_kernels.use_fast_path():
-                return pallas_kernels.ray_pass_counts_matmul(cfg, points, keep, ego_position, origin)
+                return pallas_kernels.ray_pass_counts_matmul(
+                    cfg, points, keep, ego_position, origin, y_window=y_window
+                )
         except ImportError:
             pass
     return ray_pass_counts_xla(cfg, points, keep, ego_position, origin, y_window=y_window)

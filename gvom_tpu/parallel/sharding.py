@@ -94,16 +94,17 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
       * "slab" — scans shard over `data` only (replicated across `space`);
         every device rasterizes its scans DIRECTLY into its own y-slab
         (pipeline.ingest_scan's y_window), so per-device ingest memory and
-        compute scale 1/n_space and the only grid collective is a psum of
-        slab-sized arrays over `data`. XLA kernels (the slab restriction is
-        not in the Pallas kernels yet).
+        compute scale ~1/n_space and the only grid collective is a psum of
+        slab-sized arrays over `data`. Since r3 the Pallas kernels take the
+        window too (slab one-hot column targets + relabeled y-dominant
+        worklist + slab point prefilter), so TPU meshes stay on the fast
+        path.
       * "scatter" — scans shard over BOTH axes; every device rasterizes the
-        full grid with the fast Pallas kernels, then `psum_scatter` over
-        `space` distributes y-slabs. Full-grid temporaries per device; best
-        wall-clock on TPU meshes at reference grid sizes.
-      * "auto" — "scatter" on multi-space TPU meshes, "slab" otherwise
-        (single-space meshes pass y_window=None, so the Pallas path still
-        serves TPU there).
+        full grid, then `psum_scatter` over `space` distributes y-slabs.
+        Full-grid temporaries per device and a near-constant full-grid
+        communication toll (BENCHMARKS.md comm-volume table); kept for
+        comparison and small meshes.
+      * "auto" — "slab" (the default on every mesh since r3).
 
     With "slab", S must divide by mesh.shape['data']; with "scatter", by
     mesh.size. Grid y size must divide by mesh.shape['space']."""
@@ -124,7 +125,7 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
         raise ValueError(f"xy_size {Y} not divisible by space axis {nsp}")
     Ys = Y // nsp
     if ingest == "auto":
-        ingest = "scatter" if (mesh_is_tpu and nsp > 1) else "slab"
+        ingest = "slab"
     if ingest not in ("slab", "scatter"):
         raise ValueError(f"unknown ingest strategy {ingest!r}")
     slab = ingest == "slab"

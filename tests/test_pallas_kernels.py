@@ -240,3 +240,56 @@ def test_xbox_epilogue_matches_xla_translate():
     np.testing.assert_array_equal(np.asarray(mom_p), np.asarray(mom_x))
     np.testing.assert_array_equal(np.asarray(hit_p), np.asarray(hit_x))
     np.testing.assert_array_equal(np.asarray(minh_p), np.asarray(minh_x))
+
+
+@pytest.mark.parametrize("ys0_frac", [0, 1, 3])
+def test_fused_moments_slab_equals_full_slice(scene, ys0_frac):
+    """Slab-windowed fused_point_moments (the Pallas side of the sharded
+    slab ingest, SURVEY §2.3 item 2) must equal the full-grid kernel's slab
+    columns exactly — including the point prefilter, which may only drop
+    points that contribute NOTHING to the slab."""
+    cfg, pw, keep, e, origin = scene
+    Y = cfg.xy_size
+    Ys = Y // 4
+    ys0 = ys0_frac * Ys
+    hit_f, mh_f, mom_f = jax.jit(
+        lambda: fused_point_moments(cfg, pw, keep, origin, interpret=True)
+    )()
+    hit_s, mh_s, mom_s = jax.jit(
+        lambda: fused_point_moments(cfg, pw, keep, origin, interpret=True,
+                                    y_window=(ys0, Ys))
+    )()
+    assert hit_s.shape == (cfg.xy_size, Ys, cfg.z_size)
+    np.testing.assert_array_equal(np.asarray(hit_s), np.asarray(hit_f)[:, ys0:ys0 + Ys])
+    np.testing.assert_array_equal(np.asarray(mh_s), np.asarray(mh_f)[:, ys0:ys0 + Ys])
+    # counts/min are one-hot-exact; the nine f32 moment sums shift by an ulp
+    # because the prefilter moves chunk boundaries (different f32 add order —
+    # dropped points themselves contribute exactly zero to slab columns)
+    np.testing.assert_allclose(np.asarray(mom_s), np.asarray(mom_f)[:, :, ys0:ys0 + Ys],
+                               rtol=1e-6, atol=1e-4)
+    assert int(np.asarray(hit_s).sum()) > 0 or ys0_frac != 0
+
+
+@pytest.mark.parametrize("ys0_frac", [0, 1, 3])
+def test_raycast_matmul_slab_equals_xla_slab(scene, ys0_frac):
+    """Slab-windowed matmul raycast (slab one-hot targets for x/z-dominant
+    groups + the relabeled slab-row worklist for y-dominant ones) must equal
+    the XLA slab path bitwise — and the full-grid slice, closing SURVEY
+    §2.3 item 2's Pallas gap."""
+    cfg, pw, keep, e, origin = scene
+    Y = cfg.xy_size
+    Ys = Y // 4
+    ys0 = ys0_frac * Ys
+    ref = np.asarray(jax.jit(
+        lambda: raycast.ray_pass_counts_xla(cfg, pw, keep, e, origin, y_window=(ys0, Ys))
+    )())
+    mm = np.asarray(jax.jit(
+        lambda: ray_pass_counts_matmul(cfg, pw, keep, e, origin, interpret=True,
+                                       y_window=(ys0, Ys))
+    )())
+    assert mm.shape == (cfg.xy_size, Ys, cfg.z_size)
+    np.testing.assert_array_equal(mm, ref)
+    full = np.asarray(jax.jit(
+        lambda: ray_pass_counts_matmul(cfg, pw, keep, e, origin, interpret=True)
+    )())
+    np.testing.assert_array_equal(mm, full[:, ys0:ys0 + Ys])
