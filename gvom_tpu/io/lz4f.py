@@ -73,10 +73,14 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 # block format
 
 
-def block_decompress(src: bytes, max_size: int = 1 << 30) -> bytes:
+def block_decompress(src: bytes, max_size: int = 1 << 30, history: bytes = b"") -> bytes:
     """One raw LZ4 block → bytes. max_size bounds the output (corruption
-    guard; a bag chunk is well under 1 GB)."""
+    guard; a bag chunk is well under 1 GB). `history` is the preceding
+    decoded frame output for linked-block frames (FLG bit 5 clear — the
+    default for python-lz4 / the lz4 CLI): match offsets may reach back into
+    it. Independent blocks (roslz4's bag chunks) pass no history."""
     dst = bytearray()
+    h = len(history)
     i, n = 0, len(src)
     while i < n:
         token = src[i]
@@ -103,7 +107,7 @@ def block_decompress(src: bytes, max_size: int = 1 << 30) -> bytes:
             raise ValueError("lz4: truncated match offset")
         offset = src[i] | (src[i + 1] << 8)
         i += 2
-        if offset == 0 or offset > len(dst):
+        if offset == 0 or offset > len(dst) + h:
             raise ValueError("lz4: invalid match offset")
         mlen = token & 0xF
         if mlen == 15:
@@ -117,12 +121,14 @@ def block_decompress(src: bytes, max_size: int = 1 << 30) -> bytes:
                     break
         mlen += 4
         start = len(dst) - offset
-        if offset >= mlen:
+        if start >= 0 and offset >= mlen:
             dst += dst[start : start + mlen]
         else:
-            # overlapping match: the copy source grows as we write
+            # overlapping match (source grows as we write) and/or a
+            # linked-block match reaching back into the frame history
             for k in range(mlen):
-                dst.append(dst[start + k])
+                s = start + k
+                dst.append(dst[s] if s >= 0 else history[h + s])
         if len(dst) > max_size:
             raise ValueError("lz4: output exceeds max_size")
     return bytes(dst)
@@ -206,6 +212,7 @@ def decompress(data: bytes, verify_checksums: bool = True) -> bytes:
         version = flg >> 6
         if version != 1:
             raise ValueError(f"lz4: unsupported frame version {version}")
+        b_independent = bool(flg & 0x20)
         b_checksum = bool(flg & 0x10)
         c_size = bool(flg & 0x08)
         c_checksum = bool(flg & 0x04)
@@ -238,7 +245,13 @@ def decompress(data: bytes, verify_checksums: bool = True) -> bytes:
                 off += 4
                 if verify_checksums and xxh32(blk) != bc:
                     raise ValueError("lz4: block checksum mismatch")
-            out += blk if uncompressed else block_decompress(blk)
+            if uncompressed:
+                out += blk
+            else:
+                # linked-block frames (FLG bit 5 clear): matches may reach
+                # up to 64 KB into the frame's previously decoded output
+                hist = b"" if b_independent else bytes(out[max(frame_out_start, len(out) - 65536):])
+                out += block_decompress(blk, history=hist)
         if c_checksum:
             (cc,) = _u32.unpack_from(data, off)
             off += 4

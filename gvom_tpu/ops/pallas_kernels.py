@@ -424,13 +424,17 @@ def ray_pass_counts_matmul(
     )[:, 0].astype(jnp.int32)                              # [6] all rays per group (incl dead)
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(sizes)[:-1]])
 
-    # dominant-axis cell rows per (group, step): same f32 expression as the
-    # XLA fallback — floor(start_rel_dom + s*(±1))
-    s_ar = jnp.arange(1, S + 1, dtype=jnp.float32)
+    # dominant-axis cell rows per (group, step) in INTEGER arithmetic:
+    # floor(start_rel_dom) ± s — the exact value of floor(start_dom + s·(±1)),
+    # which an f32 sum can miss by one row on knife-edge starts (half-ulp
+    # below an integer, sum crossing a binade). Same convention as the XLA
+    # fallback and the numpy oracle, and already what place_axis assumes.
+    s_ari = jnp.arange(1, S + 1, dtype=jnp.int32)
     dom_axis = jnp.array([0, 0, 1, 1, 2, 2])
-    dom_sign = jnp.array([1.0, -1.0, 1.0, -1.0, 1.0, -1.0], jnp.float32)
+    dom_sign_i = jnp.array([1, -1, 1, -1, 1, -1], jnp.int32)
     dom_size = jnp.array([X, X, Y, Y, Z, Z])
-    rows = jnp.floor(start_rel[dom_axis][:, None] + dom_sign[:, None] * s_ar[None, :]).astype(jnp.int32)
+    start_i = jnp.floor(start_rel).astype(jnp.int32)
+    rows = start_i[dom_axis][:, None] + dom_sign_i[:, None] * s_ari[None, :]
     rows_ok = (rows >= 0) & (rows < dom_size[:, None])     # [6, S]
     if y_window is not None:
         # y-dominant groups: only steps whose dominant row lands in the

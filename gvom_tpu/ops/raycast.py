@@ -77,12 +77,23 @@ def ray_pass_counts_xla(
     the spatially sharded ingest's slab-local output ([X, Ys, Z])."""
     ys0, Ys = (None, cfg.xy_size) if y_window is None else y_window
     shape = (cfg.xy_size, Ys, cfg.z_size)
-    start, step, delta, budget, _ = ray_geometry(cfg, points, keep, ego_position)
+    start, step, delta, budget, dom = ray_geometry(cfg, points, keep, ego_position)
     size = gridops.size_vector(cfg)
     # origin subtraction is folded into the start once, so the per-step
     # position is exactly `start_rel + k*step` — the same two-op expression
     # the oracle evaluates (no reassociation freedom for the compiler)
     start_rel = start - origin.astype(jnp.float32)
+    # dominant-axis row in INTEGER arithmetic: floor(start) ± k, the exact
+    # real-number value of floor(start_dom + k·(±1)). The f32 sum rounds when
+    # start_dom sits within a half-ulp of an integer and start+k crosses a
+    # binade (e.g. fl32(101−2⁻¹⁶)+156 → 257.0, floor 257 vs the true 256), so
+    # flooring it makes the placed row input-dependent per step. All paths
+    # (this one, the Pallas block-write placement, the numpy oracle) use the
+    # integer convention so they agree by construction on knife-edge rays.
+    start_i = jnp.floor(start_rel).astype(jnp.int32)                   # [3]
+    s_dom = jnp.where(dom == 0, step[:, 0], jnp.where(dom == 1, step[:, 1], step[:, 2]))
+    sgn_i = jnp.where(s_dom < 0, -1, 1).astype(jnp.int32)
+    x0_dom = start_i[dom]                                              # [N]
 
     def body(k, acc):
         kf = k.astype(jnp.float32)
@@ -94,6 +105,8 @@ def ray_pass_counts_xla(
         # ±1 voxel diffs in a fused Pallas-vs-XLA graph (scratch/ray_diff_*).
         pos = start_rel[None, :] + jax.lax.optimization_barrier(kf * step)
         vox = jnp.floor(pos).astype(jnp.int32)
+        dom_row = x0_dom + k * sgn_i
+        vox = jnp.where(jnp.arange(3)[None, :] == dom[:, None], dom_row[:, None], vox)
         inb = jnp.all((vox >= 0) & (vox < size[None, :]), axis=1)
         act = (jax.lax.optimization_barrier((kf - 1.0) * delta) < budget) & inb
         vt = (vox + origin[None, :]) % size[None, :]       # torus placement

@@ -100,14 +100,15 @@ def _shared_ray_geometry(cfg: GvomConfig, pk: np.ndarray, ego: np.ndarray):
     if f is None:
 
         def run(p, e):
-            return ray_geometry(cfg, p, jnp.ones((p.shape[0],), bool), e)[:4]
+            return ray_geometry(cfg, p, jnp.ones((p.shape[0],), bool), e)
 
         f = _GEOM_CACHE[cfg] = jax.jit(run)
     cpu = jax.devices("cpu")[0]
-    start, step, delta, budget = f(
+    start, step, delta, budget, dom = f(
         jax.device_put(pk.astype(np.float32), cpu), jax.device_put(ego.astype(np.float32), cpu)
     )
-    return (np.asarray(start), np.asarray(step), np.asarray(delta), np.asarray(budget))
+    return (np.asarray(start), np.asarray(step), np.asarray(delta),
+            np.asarray(budget), np.asarray(dom))
 
 
 class NumpyOracle:
@@ -200,10 +201,19 @@ class NumpyOracle:
         # decisions at voxel boundaries. Sharing the geometry makes
         # oracle↔engine index decisions exact; all DDA accumulation semantics
         # stay here in NumPy.
-        start, step, delta, budget = _shared_ray_geometry(cfg, pk, self.ego_position)
+        start, step, delta, budget, dom = _shared_ray_geometry(cfg, pk, self.ego_position)
         start_rel = start - origin.astype(np.float32)                  # same fold as the engine
         alive = budget >= 0
         n_steps = max(1, cfg.ray_steps)
+        nray = pk.shape[0]
+        # dominant-axis row in integer arithmetic — floor(start)±k, the exact
+        # value of floor(start_dom + k·(±1)); the f32 sum can round a
+        # knife-edge start one row off when the add crosses a binade. The
+        # engine paths (ops/raycast.py, the Pallas placement) use the same
+        # integer convention, so index decisions agree by construction.
+        s_dom = step[np.arange(nray), dom]
+        sgn = np.where(s_dom < 0, -1, 1).astype(np.int64)
+        x0_dom = np.floor(start_rel).astype(np.int64)[dom]
         for k in range(1, n_steps + 1):
             # step k taken iff (k-1)*delta < length-1 (gvom.py:1127,1150)
             cond = alive & (np.float32(k - 1) * delta < budget)
@@ -211,6 +221,7 @@ class NumpyOracle:
                 break
             pos = start_rel[None, :] + np.float32(k) * step            # affine form (see module docstring)
             idx = np.floor(pos).astype(np.int64)
+            idx[np.arange(nray), dom] = x0_dom + k * sgn
             inb = np.all((idx >= 0) & (idx < size[None, :]), axis=1)
             alive = alive & (inb | ~cond)                              # OOB while active kills the ray
             act = cond & inb & alive

@@ -65,10 +65,19 @@ def load_world(path: str) -> WorldState:
 
         ckptr = ocp.StandardCheckpointer()
         data = ckptr.restore(path)
-        grid = VoxelGrid(**{k: jnp.asarray(v) for k, v in data["grid"].items()})
+        # back-compat: checkpoints written before `evidence` moved from
+        # VoxelGrid to WorldState carry it inside data["grid"] and lack the
+        # top-level key — pop it out so the restore doesn't TypeError (and
+        # silently fall back to an older snapshot in load_resumable)
+        gdict = dict(data["grid"])
+        legacy_ev = gdict.pop("evidence", None)
+        grid = VoxelGrid(**{k: jnp.asarray(v) for k, v in gdict.items()})
+        ev = data.get("evidence", legacy_ev)
+        if ev is None:
+            ev = jnp.zeros(grid.hit.shape, jnp.int32)
         return WorldState(
             grid=grid,
-            evidence=jnp.asarray(data["evidence"]),
+            evidence=jnp.asarray(ev),
             valid=jnp.asarray(data["valid"]),
         )
     with np.load(path) as z:

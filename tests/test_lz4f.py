@@ -10,6 +10,8 @@ import struct
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast inner-loop tier (see pyproject markers)
+
 from gvom_tpu.io import lz4f
 
 
@@ -116,3 +118,36 @@ def test_skippable_frame():
 def test_concatenated_frames():
     f = lz4f.compress(b"first|") + lz4f.compress(b"second")
     assert lz4f.decompress(f) == b"first|second"
+
+
+def _linked_frame() -> bytes:
+    """Hand-built two-block LINKED frame (FLG bit 5 clear — python-lz4 / lz4
+    CLI default): block 2 is a single match whose offset reaches into block
+    1's output (frame history)."""
+    flg = 0x40                                     # version 1, linked blocks
+    bd = 0x40                                      # 64 KB max block size
+    desc = bytes([flg, bd])
+    hc = (lz4f.xxh32(desc) >> 8) & 0xFF
+    b1 = b"0123456789abcdef"
+    b2 = bytes([0x04]) + struct.pack("<H", 16)     # match: 8 bytes from offset 16
+    return (
+        struct.pack("<I", 0x184D2204)
+        + desc
+        + bytes([hc])
+        + struct.pack("<I", len(b1) | 0x80000000)  # uncompressed block 1
+        + b1
+        + struct.pack("<I", len(b2))
+        + b2
+        + struct.pack("<I", 0)                     # EndMark
+    )
+
+
+def test_linked_block_frame_decodes_against_history():
+    assert lz4f.decompress(_linked_frame()) == b"0123456789abcdef" + b"01234567"
+
+
+def test_block_decompress_history_overlap():
+    # linked match longer than its offset: spans from history into own output
+    blk = bytes([0x08]) + struct.pack("<H", 4)     # 12 bytes from offset 4
+    out = lz4f.block_decompress(blk, history=b"abcd")
+    assert out == b"abcdabcdabcd"

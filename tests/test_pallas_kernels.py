@@ -293,3 +293,63 @@ def test_raycast_matmul_slab_equals_xla_slab(scene, ys0_frac):
         lambda: ray_pass_counts_matmul(cfg, pw, keep, e, origin, interpret=True)
     )())
     np.testing.assert_array_equal(mm, full[:, ys0:ys0 + Ys])
+
+
+def test_raycast_knife_edge_dominant_row_exact():
+    """Knife-edge start: start_rel_dom a half-ulp below an integer, so that
+    at some step the f32 sum start+s crosses a binade and rounds UP to the
+    integer — f32 flooring would then place that step's histogram one
+    dominant row off. All paths use the integer convention floor(start)±s
+    (the exact real-number row), so XLA, the matmul kernel's block-write
+    placement, and a literal integer-march recomputation must agree.
+
+    Construction: res=1 so start=ego exactly; explicit origin 0 so the
+    origin fold doesn't re-round; start_x = fl32(5 − 2⁻²⁰) (representable:
+    ulp(5⁻)=2⁻²¹). At s=27, 4.99999905+27 = 31.99999905 is within a half-ulp
+    of 32 (ulp(32⁻)=2⁻¹⁸) → the f32 sum is exactly 32.0, floor 32; the true
+    row is 4+27=31."""
+    import dataclasses
+
+    from gvom_tpu.config import GvomConfig
+
+    cfg = GvomConfig(xy_size=64, z_size=32, max_points=256,
+                     xy_resolution=1.0, z_resolution=1.0)
+    ex = np.float32(5.0) - np.float32(2.0 ** -20)
+    assert float(ex) != 5.0 and float(np.float32(ex + np.float32(27.0))) == 32.0
+    ego = np.array([ex, 10.0, 5.0], np.float32)
+    origin = jnp.zeros((3,), jnp.int32)
+    # one +x-dominant ray long enough to march past the knife-edge step
+    pts = np.zeros((cfg.max_points, 3), np.float32)
+    pts[0] = ego + np.array([50.0, 2.0, 1.0], np.float32)
+    keep = np.zeros((cfg.max_points,), bool)
+    keep[0] = True
+    p, k, e = jnp.asarray(pts), jnp.asarray(keep), jnp.asarray(ego)
+
+    ref = np.asarray(jax.jit(lambda: raycast.ray_pass_counts_xla(cfg, p, k, e, origin))())
+    mm = np.asarray(
+        jax.jit(lambda: ray_pass_counts_matmul(cfg, p, k, e, origin, interpret=True))()
+    )
+    np.testing.assert_array_equal(mm, ref)
+
+    # literal integer-convention march of the single ray
+    start, step, delta, budget, dom = jax.jit(
+        lambda: raycast.ray_geometry(cfg, p, k, e)
+    )()
+    start, step = np.asarray(start), np.asarray(step)[0]
+    delta, budget = float(np.asarray(delta)[0]), float(np.asarray(budget)[0])
+    assert int(np.asarray(dom)[0]) == 0 and step[0] == 1.0
+    expected = np.zeros((cfg.xy_size, cfg.xy_size, cfg.z_size), np.int64)
+    x0 = int(np.floor(start[0]))
+    s = 1
+    while (s <= cfg.ray_steps
+           and np.float32(np.float32(s - 1) * np.float32(delta)) < np.float32(budget)):
+        x = x0 + s                                       # integer convention
+        y = int(np.floor(np.float32(start[1]) + np.float32(np.float32(s) * step[1])))
+        z = int(np.floor(np.float32(start[2]) + np.float32(np.float32(s) * step[2])))
+        if not (0 <= x < cfg.xy_size and 0 <= y < cfg.xy_size and 0 <= z < cfg.z_size):
+            break
+        expected[x, y, z] += 1
+        s += 1
+    np.testing.assert_array_equal(ref, expected)
+    # the knife-edge step landed on the true row (31), not the f32-floor row
+    assert expected[x0 + 27].sum() == 1

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast inner-loop tier (see pyproject markers)
+
 from gvom_tpu.io import synthetic
 from gvom_tpu.models import pipeline
 from gvom_tpu.ops import moments

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast inner-loop tier (see pyproject markers)
+
 from gvom_tpu.config import GvomConfig
 from gvom_tpu.engine import Gvom
 from gvom_tpu.io import synthetic
