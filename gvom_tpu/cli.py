@@ -236,6 +236,54 @@ def cmd_selftest(args):
         # boundaries (prefilter) → ulp-level f32 reassociation only
         ok_all &= sray == 0 and sh == 0 and smh == 0.0 and srel <= mom_tol
 
+    # ---- mega-combine: compiled fused_combine vs the XLA combine path ----
+    # (phase A latching + phase B fusion + column products must be BITWISE
+    # equal — its accumulation is select/add in the identical order)
+    from gvom_tpu.models import pipeline as _pl
+    from gvom_tpu.types import empty_buffer_state, empty_world_state
+
+    buf = empty_buffer_state(cfg)
+    world = empty_world_state(cfg)
+    ing = jax.jit(lambda b, p, m, e: _pl.ingest_and_insert(
+        cfg, b, p, m, e, None, "matmul" if not interpret else "xla"))
+    for seed in range(cfg.buffer_size + 1):
+        ego = np.array([0.5 + 0.45 * seed, 0.25 * seed, 1.6])
+        pts = synthetic.simulate_lidar_scan(
+            terrain, ego, channels=64, azimuth_steps=max(64, args.points // 64),
+            max_range=60.0, seed=seed)
+        pad, mask = synthetic.pad_scan(pts, cfg.max_points)
+        buf, _ = ing(buf, jnp.asarray(pad), jnp.asarray(mask),
+                     jnp.asarray(np.float32(ego)))
+    e_last = jnp.asarray(np.float32(ego))
+    world, _, _ = jax.jit(lambda b, w: _pl.combine(cfg, b, w, e_last, impl="xla"))(
+        buf, world)
+
+    @jax.jit
+    def combine_pair(buf, world):
+        w_x, p_x, _ = _pl.combine(cfg, buf, world, e_last, impl="xla")
+        origin = buf.grids.origin[buf.last_slot]
+        w_f, p_f, _ = _pl._combine_fused(
+            cfg, buf, world, e_last.astype(jnp.float32), origin,
+            jnp.any(buf.slot_valid), interpret=interpret)
+        dg = jnp.maximum(
+            jnp.maximum(jnp.abs(w_f.grid.hit - w_x.grid.hit).max(),
+                        jnp.abs(w_f.evidence - w_x.evidence).max()),
+            jnp.abs(w_f.grid.miss - w_x.grid.miss).max())
+        dmh = jnp.abs(w_f.grid.min_height - w_x.grid.min_height).max()
+        dmm = jnp.abs(w_f.grid.mom - w_x.grid.mom).max()
+        dp = jnp.maximum(
+            jnp.maximum(jnp.abs(p_f.height - p_x.height).max(),
+                        jnp.abs(p_f.inferred_height - p_x.inferred_height).max()),
+            jnp.abs(p_f.positive_obstacle - p_x.positive_obstacle).max().astype(jnp.float32))
+        return dg, dmh, dmm, dp
+
+    cg, cmh, cmm, cp = [float(x) for x in combine_pair(buf, world)]
+    checks["combine_grid_maxdiff"] = cg
+    checks["combine_minh_maxdiff"] = cmh
+    checks["combine_mom_maxdiff"] = cmm
+    checks["combine_products_maxdiff"] = cp
+    ok_all &= cg == 0 and cmh == 0.0 and cmm == 0.0 and cp == 0.0
+
     verdict = {
         "selftest": "pallas_vs_xla_compiled",
         "backend": backend,

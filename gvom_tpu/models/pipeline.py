@@ -172,15 +172,37 @@ def combine(
     buf: BufferState,
     world: WorldState,
     ego_position: jnp.ndarray,
+    impl: str = "auto",
 ) -> Tuple[WorldState, MapProducts, jnp.ndarray]:
     """Fuse buffered scans + decayed previous world map, derive the 2D maps.
 
     Slot iteration order and the occupied-wins / miss-accumulation / staleness
     veto semantics follow gvom.py:198-266 & 941-997. Returns
-    (new world, products, combine_ok)."""
+    (new world, products, combine_ok).
+
+    impl: "fused" takes the Pallas mega-combine (one HBM pass for phase A +
+    phase B + the column products — pallas_kernels.fused_combine,
+    bitwise-identical); "xla" forces this module's reference-shaped
+    multi-fusion path. "auto" is currently "xla" everywhere: on v5e the
+    fused kernel measured 4.0 ms vs XLA's 3.3 (r4; the [Y, Z=64] channel
+    blocks run at half lane utilization in VMEM — see BENCHMARKS.md), so the
+    kernel stays opt-in until that layout cost is beaten."""
     ego = ego_position.astype(jnp.float32)
     origin = buf.grids.origin[buf.last_slot]
     any_valid = jnp.any(buf.slot_valid)
+
+    use_fused = False
+    if impl == "fused":
+        try:
+            from gvom_tpu.ops import pallas_kernels
+        except ImportError:
+            if impl == "fused":
+                raise
+            pallas_kernels = None
+        if pallas_kernels is not None:
+            use_fused = impl == "fused" or pallas_kernels.use_fast_path()
+    if use_fused:
+        return _combine_fused(cfg, buf, world, ego, origin, any_valid)
 
     # --- phase A: occupancy + negative evidence (slot order latches) ---
     # torus layout: alignment is masks only — no data movement. The re-origin
@@ -262,6 +284,53 @@ def combine(
     sx_t = gridops.window_to_torus(slope_x, origin, grid_ndim=2)
     sy_t = gridops.window_to_torus(slope_y, origin, grid_ndim=2)
     pos_t = maps2d.positive_obstacle_map(cfg, occ, hit, hit + miss, hm_t, sx_t, sy_t, origin)
+    pos = gridops.torus_to_window(pos_t, origin, grid_ndim=2)
+    neg = maps2d.negative_obstacle_map(cfg, ghd)
+    vis = maps2d.visibility_map(hm)
+    products = MapProducts(
+        origin=origin,
+        height=hm,
+        inferred_height=ihm,
+        slope_x=slope_x,
+        slope_y=slope_y,
+        roughness=rough,
+        guessed_height_delta=ghd,
+        positive_obstacle=pos,
+        negative_obstacle=neg,
+        visibility=vis,
+    )
+    return new_world, products, any_valid
+
+
+def _combine_fused(cfg, buf, world, ego, origin, any_valid, interpret=False):
+    """Mega-combine path: one Pallas pass for phases A/B + column products;
+    only the tiny [X,X] stencil ops (slope/rough/guess/negative) stay XLA."""
+    from gvom_tpu.ops import pallas_kernels
+
+    grid, evidence, hm_t, ihm_t, pnum, pden, bok = pallas_kernels.fused_combine(
+        cfg, buf, world, ego, origin, interpret=interpret
+    )
+    origin_out = jnp.where(any_valid, origin, world.grid.origin)
+    new_world = WorldState(
+        grid=grid._replace(origin=origin_out),
+        evidence=evidence,
+        valid=world.valid | any_valid,
+    )
+
+    hm = gridops.torus_to_window(hm_t, origin, grid_ndim=2)
+    ihm = gridops.torus_to_window(ihm_t, origin, grid_ndim=2)
+    slope_x, slope_y, rough = maps2d.slope_and_roughness(cfg, hm)
+    ghd = maps2d.guess_height_delta(cfg, hm, ihm)
+    sx_t = gridops.window_to_torus(slope_x, origin, grid_ndim=2)
+    sy_t = gridops.window_to_torus(slope_y, origin, grid_ndim=2)
+    # positive-obstacle assembly from the kernel's band sums — identical
+    # arithmetic to maps2d.positive_obstacle_map's tail (int sums → f32)
+    steep = jnp.sqrt(sx_t * sx_t + sy_t * sy_t) >= jnp.float32(cfg.slope_obstacle_threshold)
+    num = pnum.astype(jnp.float32)
+    den = pden.astype(jnp.float32)
+    dens = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+    val = (dens * 100.0).astype(jnp.int32)
+    pos_t = jnp.where(steep, 100, jnp.where(bok > 0, val, 0))
     pos = gridops.torus_to_window(pos_t, origin, grid_ndim=2)
     neg = maps2d.negative_obstacle_map(cfg, ghd)
     vis = maps2d.visibility_map(hm)

@@ -1140,3 +1140,233 @@ def fused_point_moments(
     minh = jnp.roll(minh, rollx, axis=0)
     mom = jnp.roll(mom, rollx, axis=0)
     return hit, minh, mom
+
+
+# ======================================================================
+# Fused combine ("mega-combine"): phase A + phase B + column products
+# ======================================================================
+#
+# The XLA combine (models/pipeline.py) lowers to several full-grid loop
+# fusions — the 5-source mom fusion alone re-reads ~1.18 GB and phase A's
+# slot-order evidence latching re-reads the hit/miss channels the mom pass
+# already streamed. This kernel is ONE HBM pass: each grid instance DMAs a
+# W-slice block of all 4 buffer slots + the old world, computes phase A
+# (occupancy + slot-order evidence latching + decay veto, gvom.py:941-997),
+# phase B (occupied-source data fusion, gvom.py:198-266), AND the per-column
+# 2D reductions (height / inferred height / positive-obstacle band,
+# gvom.py:487-554) in VMEM, and writes each output once. Bitwise-identical
+# accumulation order to the XLA path (slots 0..B-1 then old; one-hot column
+# selects), pinned by tests/test_combine_kernel.py and `cli selftest`.
+
+_CMB_XB = _env_int("GVOM_CMB_XB", "4", 1, 16)   # W: x-slices per instance
+
+
+def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
+    X, Y, Z = cfg.grid_shape
+    from gvom_tpu.ops.moments import packed_lanes
+
+    Vp = packed_lanes(Z)
+    pad = Vp - 2 * Z
+    UH = -1000.0                       # types.UNKNOWN_HEIGHT (import cycle)
+    zres = float(cfg.z_resolution)
+    xyres = float(cfg.xy_resolution)
+    decay = int(cfg.decay_miss_limit)
+    pot = float(cfg.positive_obstacle_threshold)
+    rh = float(cfg.robot_height)
+    hct = int(cfg.hit_count_threshold)
+    rr2 = float(cfg.robot_radius) ** 2
+    g2l = float(cfg.ground_to_lidar_height)
+
+    def kernel(org_ref, iscal_ref, ego_ref,
+               bhit_ref, bmiss_ref, bminh_ref, bmom_ref,
+               ohit_ref, omiss_ref, ominh_ref, omom_ref, oev_ref,
+               hit_o, miss_o, minh_o, mom_o, ev_o,
+               hm_o, ihm_o, pnum_o, pden_o, bok_o):
+        """org_ref (SMEM): [B+2, 3] i32 — slot origins, old origin, target.
+        iscal_ref (SMEM): [B+2] i32 — slot_valid ×B, old_valid, any_valid.
+        ego_ref (SMEM): [3] f32."""
+        xb = pl.program_id(0)
+        ot0, ot1, ot2 = org_ref[B + 1, 0], org_ref[B + 1, 1], org_ref[B + 1, 2]
+        anyv = iscal_ref[B + 1] > 0
+        yio = jax.lax.broadcasted_iota(jnp.int32, (Y, 1), 0)[:, 0]     # [Y]
+        zio = jax.lax.broadcasted_iota(jnp.int32, (Y, Z), 1)           # [Y,Z]
+        pz = (zio - ot2) % Z                       # window-relative z priority
+
+        def axis_ok_vec(coords, o_t, o_s, size):
+            rel_t = (coords - o_t) % size
+            d = o_t - o_s
+            return (rel_t >= -jnp.minimum(d, 0)) & (rel_t < size - jnp.maximum(d, 0))
+
+        for w in range(W):
+            xg = xb * W + w
+            # ---- phase A: occupancy + slot-order evidence latching ----
+            occ = jnp.zeros((Y, Z), jnp.bool_)
+            ev = jnp.zeros((Y, Z), jnp.int32)
+            smask = []
+            for s in range(B):
+                okx = axis_ok_vec(xg, ot0, org_ref[s, 0], X) & (iscal_ref[s] > 0)
+                oky = axis_ok_vec(yio, ot1, org_ref[s, 1], X)
+                okz = axis_ok_vec(zio, ot2, org_ref[s, 2], Z)
+                am = (oky[:, None] & okz) & okx
+                h = bhit_ref[s, w]
+                s_occ = (h > 0) & am
+                s_ev = jnp.where(am & ~s_occ, bmiss_ref[s, w], 0)
+                ev = jnp.where((s_ev > 0) & ~occ, ev + s_ev, ev)
+                occ = occ | s_occ
+                smask.append(s_occ)
+            okx = axis_ok_vec(xg, ot0, org_ref[B, 0], X) & (iscal_ref[B] > 0)
+            oky = axis_ok_vec(yio, ot1, org_ref[B, 1], X)
+            okz = axis_ok_vec(zio, ot2, org_ref[B, 2], Z)
+            oam = (oky[:, None] & okz) & okx
+            old_h = ohit_ref[w]
+            old_occ = (old_h > 0) & oam
+            revive = old_occ & ~occ & (ev <= decay)     # staleness veto (gvom.py:992)
+            occ2 = occ | revive
+            old_ev = jnp.where(oam, oev_ref[w], 0)
+            ev = jnp.where(~old_occ & (old_ev > 0) & ~occ2, ev + old_ev, ev)
+            ev = jnp.where(occ2, 0, ev)                 # occupied-wins (gvom.py:947-950)
+
+            # ---- phase B: occupied-source data fusion ----
+            hit = jnp.zeros((Y, Z), jnp.int32)
+            miss = jnp.zeros((Y, Z), jnp.int32)
+            mh = jnp.ones((Y, Z), jnp.float32)
+            for s in range(B):
+                m = smask[s]
+                hit = hit + jnp.where(m, bhit_ref[s, w], 0)
+                miss = miss + jnp.where(m, bmiss_ref[s, w], 0)
+                mh = jnp.where(m, jnp.minimum(mh, bminh_ref[s, w]), mh)
+            mold = old_occ & occ2
+            hit = hit + jnp.where(mold, old_h, 0)
+            miss = miss + jnp.where(mold, omiss_ref[w], 0)
+            mh = jnp.where(mold, jnp.minimum(mh, ominh_ref[w]), mh)
+
+            def pk(m):
+                # Mosaic can't concatenate i1 vregs ("invalid vector register
+                # cast") — concat as i32 and rebuild the predicate
+                mi = m.astype(jnp.int32)
+                parts = [mi, mi]
+                if pad:
+                    parts.append(jnp.zeros((Y, pad), jnp.int32))
+                return jnp.concatenate(parts, axis=-1) > 0
+
+            pks = [pk(smask[s]) for s in range(B)]
+            pko = pk(mold)
+            for c in range(5):
+                acc = jnp.zeros((Y, Vp), jnp.float32)
+                for s in range(B):
+                    acc = acc + jnp.where(pks[s], bmom_ref[s, w, c], 0.0)
+                acc = acc + jnp.where(pko, omom_ref[w, c], 0.0)
+                mom_o[w, c] = jnp.where(anyv, acc, omom_ref[w, c])
+
+            # ---- world outputs (any_valid latch = pipeline._tree_where) ----
+            hit_o[w] = jnp.where(anyv, hit, ohit_ref[w])
+            miss_o[w] = jnp.where(anyv, miss, omiss_ref[w])
+            minh_o[w] = jnp.where(anyv, mh, ominh_ref[w])
+            ev_o[w] = jnp.where(anyv, ev, oev_ref[w])
+
+            # ---- 2D column products (maps2d.height_map / inferred / pos) ----
+            score = jnp.where(occ2, pz, Z)
+            zrel = jnp.min(score, axis=-1)                     # [Y]
+            any_hit = zrel < Z
+            selc = occ2 & (score == zrel[:, None])
+            mhsum = jnp.sum(jnp.where(selc, mh, 0.0), axis=-1)
+            col_h = (mhsum + zrel.astype(jnp.float32)
+                     + ot2.astype(jnp.float32)) * zres
+            relx = ((xg - ot0) % X).astype(jnp.float32)
+            rely = ((yio - ot1) % X).astype(jnp.float32)
+            gx = (ot0.astype(jnp.float32) + relx) * xyres - ego_ref[0]
+            gy = (ot1.astype(jnp.float32) + rely) * xyres - ego_ref[1]
+            disk = gx * gx + gy * gy <= rr2
+            seed = jnp.where(disk, ego_ref[2] - g2l, UH)
+            hm = jnp.where(any_hit, col_h, seed)
+            hm_o[w, 0] = hm
+
+            miss_col = (~occ2) & (ev > 0)
+            score2 = jnp.where(miss_col, pz, Z)
+            zrel2 = jnp.min(score2, axis=-1)
+            ihm_o[w, 0] = jnp.where(
+                zrel2 < Z,
+                (zrel2.astype(jnp.float32) + ot2.astype(jnp.float32)) * zres,
+                UH,
+            )
+
+            o2f = ot2.astype(jnp.float32)
+            lo = jnp.floor((hm + pot) / zres - o2f).astype(jnp.int32) + 1
+            hi = jnp.floor((hm + rh) / zres - o2f).astype(jnp.int32)
+            band_ok = (lo >= 0) & (lo < Z) & (hi >= 0) & (hi < Z)
+            in_band = (pz >= lo[:, None]) & (pz <= hi[:, None])
+            strong = occ2 & (hit > hct)
+            sel = in_band & strong
+            pnum_o[w, 0] = jnp.sum(jnp.where(sel, hit, 0), axis=-1)
+            pden_o[w, 0] = jnp.sum(jnp.where(sel, hit + miss, 0), axis=-1)
+            bok_o[w, 0] = band_ok.astype(jnp.int32)
+
+    return kernel
+
+
+def fused_combine(cfg: GvomConfig, buf, world, ego_position, origin,
+                  interpret: bool = False):
+    """One-HBM-pass combine. Returns (VoxelGrid, evidence, hm_t, ihm_t,
+    pnum_t, pden_t, bok_t) — grid channels with the any_valid latch already
+    applied, 2D maps in torus layout. Bitwise-identical to the XLA combine's
+    phase A/B and to maps2d's column products (one-hot column sums)."""
+    from gvom_tpu.ops.moments import packed_lanes
+    from gvom_tpu.types import VoxelGrid
+
+    X, Y, Z = cfg.grid_shape
+    Vp = packed_lanes(Z)
+    B = cfg.buffer_size
+    W = _CMB_XB
+    while X % W:
+        W //= 2
+    n_inst = X // W
+    g = buf.grids
+    org = jnp.concatenate(
+        [g.origin[:B], world.grid.origin[None, :], origin[None, :]], axis=0
+    ).astype(jnp.int32)                                     # [B+2, 3]
+    any_valid = jnp.any(buf.slot_valid)
+    iscal = jnp.concatenate(
+        [buf.slot_valid.astype(jnp.int32),
+         world.valid.astype(jnp.int32)[None],
+         any_valid.astype(jnp.int32)[None]]
+    )                                                        # [B+2]
+    ego = ego_position.astype(jnp.float32)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    slot3 = pl.BlockSpec((B, W, Y, Z), lambda xb: (0, xb, 0, 0), memory_space=pltpu.VMEM)
+    slotm = pl.BlockSpec((B, W, 5, Y, Vp), lambda xb: (0, xb, 0, 0, 0), memory_space=pltpu.VMEM)
+    old3 = pl.BlockSpec((W, Y, Z), lambda xb: (xb, 0, 0), memory_space=pltpu.VMEM)
+    oldm = pl.BlockSpec((W, 5, Y, Vp), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM)
+    # 2D outputs ride as [X, 1, Y] so the block's last two dims (1, Y)
+    # equal the array dims (Mosaic requires last-two divisibility-or-equal)
+    out2d = pl.BlockSpec((W, 1, Y), lambda xb: (xb, 0, 0), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _combine_kernel_factory(cfg, B, W),
+        grid=(n_inst,),
+        in_specs=[smem, smem, smem,
+                  slot3, slot3, slot3, slotm,
+                  old3, old3, old3, oldm, old3],
+        out_specs=(old3, old3, old3, oldm, old3, out2d, out2d, out2d, out2d, out2d),
+        out_shape=(
+            jax.ShapeDtypeStruct((X, Y, Z), jnp.int32),
+            jax.ShapeDtypeStruct((X, Y, Z), jnp.int32),
+            jax.ShapeDtypeStruct((X, Y, Z), jnp.float32),
+            jax.ShapeDtypeStruct((X, 5, Y, Vp), jnp.float32),
+            jax.ShapeDtypeStruct((X, Y, Z), jnp.int32),
+            jax.ShapeDtypeStruct((X, 1, Y), jnp.float32),
+            jax.ShapeDtypeStruct((X, 1, Y), jnp.float32),
+            jax.ShapeDtypeStruct((X, 1, Y), jnp.int32),
+            jax.ShapeDtypeStruct((X, 1, Y), jnp.int32),
+            jax.ShapeDtypeStruct((X, 1, Y), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(org, iscal, ego,
+      g.hit, g.miss, g.min_height, g.mom,
+      world.grid.hit, world.grid.miss, world.grid.min_height, world.grid.mom,
+      world.evidence)
+    hit, miss, minh, mom, ev, hm_t, ihm_t, pnum, pden, bok = outs
+    hm_t, ihm_t, pnum, pden, bok = (a[:, 0, :] for a in (hm_t, ihm_t, pnum, pden, bok))
+    grid = VoxelGrid(hit=hit, miss=miss, min_height=minh, mom=mom, origin=origin)
+    return grid, ev, hm_t, ihm_t, pnum, pden, bok

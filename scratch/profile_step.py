@@ -57,16 +57,16 @@ def timed(name, fn, args, steps, repeats=3):
     """fn(carry, i) -> (carry, probe); scanned `steps` times per call."""
 
     @jax.jit
-    def run(*a):
+    def run(a):
         carry, probe = jax.lax.scan(fn, a, jnp.arange(steps))
         return carry, probe
 
-    out = run(*args)
+    out = run(args)
     jax.block_until_ready(out)
     best = None
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = run(*args)
+        out = run(args)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         best = dt if best is None or dt < best else best
@@ -84,6 +84,8 @@ def main():
     ap.add_argument("--xy-size", type=int, default=256)
     ap.add_argument("--z-size", type=int, default=64)
     ap.add_argument("--stages", default="")
+    ap.add_argument("--combine-impl", default="auto",
+                    help="combine impl for the combine/full/contract stages")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -175,13 +177,13 @@ def main():
 
         def cmb(carry, i):
             buf, world = carry
-            world, products, _ = pipeline.combine(cfg, buf, world, egos[0])
+            world, products, _ = pipeline.combine(cfg, buf, world, egos[0], impl=args.combine_impl)
             probe = sum(jnp.sum(l).astype(jnp.float32) for l in products)
             bump = (probe > -1.0).astype(jnp.int32)
             world = world._replace(grid=world.grid._replace(hit=world.grid.hit + bump))
             return (buf, world), probe
 
-        timed("combine", cmb, (buf0, empty_world_state(cfg)), S, args.repeats)
+        timed(f"combine[{args.combine_impl}]", cmb, (buf0, empty_world_state(cfg)), S, args.repeats)
 
     # --- full step forms ---
     if on("full"):
