@@ -85,6 +85,27 @@ _OH_VAL = {"int8": jnp.int8, "bf16": jnp.bfloat16}[
                      # to VPU emulation under Mosaic (measured ~4× slower on
                      # the far-tier histograms).
 
+_RAY_STEPPAIR = os.environ.get("GVOM_RAY_STEPPAIR", "0") == "1"
+                     # step-PAIRED mod-64 near tier (r4): two consecutive
+                     # steps ride ONE matmul row — A = [u_s | u_s+1] and
+                     # B = [v_s | v_s+1] half-packed one-hots, quadrants
+                     # (0,0)/(1,1) of the [128,128] product are the two step
+                     # hists and the cross quadrants are discarded. Halves
+                     # the rows streamed through the MXU for steps 1..30.
+                     # MEASURED A LOSS on v5e (raycast 6.85 → 10.3 ms/scan):
+                     # the M=64 group-paired tier already streams ~0.8
+                     # cycles/row — the MXU runs narrow-M bf16 histograms at
+                     # ~2 rows/cycle, so doubling M to 128 cancels the row
+                     # halving and the doubled one-hot builds become pure
+                     # overhead. Kept off as a documented dead end
+                     # (BENCHMARKS.md r4); the kernel stays exact-tested.
+
+_RAY_TIER32 = os.environ.get("GVOM_RAY_TIER32", "0") == "1"
+                     # experimental r4 probe: mod-32 tier for steps 1..15 —
+                     # if narrow-M row packing extends to M=32 (4 rows/cycle)
+                     # the densest steps halve again. Measured on v5e before
+                     # any default flip (see BENCHMARKS.md).
+
 _RAY_TIER64 = os.environ.get("GVOM_RAY_TIER64", "1") == "1"  # mod-64 near
                      # tier for raycast steps 1..31 (exactness pinned in
                      # tests). Default ON since r3: the block-write placement
@@ -314,6 +335,123 @@ def _run_hist(meta, startuv, su, sv, G, S, U, V, interpret=False, paired=True,
         # [a, s, UO, 2V] → [2a+half, s, UO, V]
         out = out.reshape(n_inst, S_pad, UO, 2, VO).transpose(0, 3, 1, 2, 4).reshape(G, S_pad, UO, VO)
     return out[:, :S]
+
+
+def _steppair_kernel_factory(NP: int, CHUNK: int, U_GRID: int, V: int):
+    """One instance = one group, all NP step pairs (steps 2j+1, 2j+2).
+
+    Each matmul row carries TWO visits: the u/v one-hots of steps s and s+1
+    occupy disjoint halves of the [K,128] / [K,2V] operands, so the [128,2V]
+    product's (lo,lo) quadrant is step s's hist and (hi,hi) is step s+1's;
+    the cross quadrants are garbage and discarded by the caller's quadrant
+    extraction. live(s+1) ⊆ live(s) is a prefix (desc-kmax sort), so one
+    chunk walk at step s's width covers both steps; each step keeps its own
+    count/dom_ok liveness from the shared meta table."""
+
+    def kernel(meta_ref, startuv_ref, su_ref, sv_ref, out_ref, aj_ref, ac_ref):
+        g = pl.program_id(0)
+        iuf = jax.lax.broadcasted_iota(_OH_IDX, (1, 128), 1)
+        ivf = jax.lax.broadcasted_iota(_OH_IDX, (1, 2 * V), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)[:, 0]
+        npad = su_ref.shape[0]
+        start_u = startuv_ref[g, 0]
+        start_v = startuv_ref[g, 1]
+
+        for j in range(NP):
+            out_ref[0, j] = jnp.zeros((128, 2 * V), jnp.float32)
+
+        t_cnt = jnp.int32(0)
+        cum = jnp.int32(0)
+        for j in range(NP):
+            s0 = 2 * j + 1
+            s1 = 2 * j + 2
+            nch = meta_ref[g, s0, 1]
+            act0 = (meta_ref[g, s0, 3] > 0) & (meta_ref[g, s0, 4] > 0)
+            act1 = (meta_ref[g, s1, 3] > 0) & (meta_ref[g, s1, 4] > 0)
+            w = jnp.where(act0 | act1, nch, 0)
+            aj_ref[t_cnt] = j
+            ac_ref[t_cnt] = cum
+            t_cnt = t_cnt + (w > 0).astype(jnp.int32)
+            cum = cum + w
+        ac_ref[t_cnt] = cum
+
+        def body(i, t):
+            t = t + (i >= ac_ref[t + 1]).astype(jnp.int32)
+            j = aj_ref[t]
+            c = i - ac_ref[t]
+            s0 = 2 * j + 1
+            s1 = s0 + 1
+            ab = meta_ref[g, s0, 0]
+            nc = meta_ref[g, s0, 1]
+            first = meta_ref[g, s0, 2]
+            cnt0 = meta_ref[g, s0, 3]
+            cnt1 = meta_ref[g, s1, 3]
+            d0 = meta_ref[g, s0, 4]
+            d1 = meta_ref[g, s1, 4]
+            base = pl.multiple_of(jnp.minimum(ab + c * CHUNK, npad - CHUNK), CHUNK)
+            su = su_ref[pl.ds(base, CHUNK)]
+            sv = sv_ref[pl.ds(base, CHUNK)]
+            gi = base + rows
+            sf0 = s0.astype(jnp.float32)           # exact small ints
+            sf1 = s1.astype(jnp.float32)
+            u0 = jnp.floor(start_u + sf0 * su).astype(jnp.int32)
+            v0 = jnp.floor(start_v + sf0 * sv).astype(jnp.int32)
+            u1 = jnp.floor(start_u + sf1 * su).astype(jnp.int32)
+            v1 = jnp.floor(start_v + sf1 * sv).astype(jnp.int32)
+            live0 = (c < nc) & (d0 > 0) & (gi >= first) & (gi < first + cnt0)
+            live1 = (c < nc) & (d1 > 0) & (gi >= first) & (gi < first + cnt1)
+            okv0 = live0 & (v0 >= 0) & (v0 < V)
+            okv1 = live1 & (v1 >= 0) & (v1 < V)
+            vv0 = jnp.where(okv0, v0, -1).astype(_OH_IDX)
+            vv1 = jnp.where(okv1, v1 + V, -1).astype(_OH_IDX)
+            oku0 = okv0 & (u0 >= 0) & (u0 < U_GRID)
+            oku1 = okv1 & (u1 >= 0) & (u1 < U_GRID)
+            uu0 = jnp.where(oku0, jax.lax.rem(u0, jnp.int32(64)), -1).astype(_OH_IDX)
+            uu1 = jnp.where(oku1, jax.lax.rem(u1, jnp.int32(64)) + 64, -1).astype(_OH_IDX)
+            ohu = ((uu0[:, None] == iuf) | (uu1[:, None] == iuf)).astype(_OH_VAL)
+            ohv = ((vv0[:, None] == ivf) | (vv1[:, None] == ivf)).astype(_OH_VAL)
+            acc_t = jnp.int32 if _OH_VAL == jnp.int8 else jnp.float32
+            p = jax.lax.dot_general(
+                ohu, ohv, (((0,), (0,)), ((), ())), preferred_element_type=acc_t
+            )
+            out_ref[0, j] = out_ref[0, j] + p.astype(jnp.float32)
+            return t
+
+        jax.lax.fori_loop(0, cum, body, jnp.int32(0))
+
+    return kernel
+
+
+def _run_hist_steppair(meta, startuv, su, sv, G, S_t, U, V, interpret=False,
+                       chunk=_CHUNK):
+    """Step-paired mod-64 hists for steps 1..S_t (S_t even): returns
+    [G, S_t, 64, V] — quadrant-extracted and interleaved."""
+    NP = S_t // 2
+    if meta.shape[1] < S_t + 1:
+        meta = jnp.pad(meta, ((0, 0), (0, S_t + 1 - meta.shape[1]), (0, 0)))
+    out = pl.pallas_call(
+        _steppair_kernel_factory(NP, chunk, U, V),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, NP, 128, 2 * V), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, NP, 128, 2 * V), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((NP + 2,), jnp.int32),
+            pltpu.SMEM((NP + 2,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(meta, startuv, su, sv)
+    h0 = out[:, :, :64, :V]                      # steps 1, 3, 5, ...
+    h1 = out[:, :, 64:, V:]                      # steps 2, 4, 6, ...
+    return jnp.stack([h0, h1], axis=2).reshape(G, S_t, 64, V)
 
 
 def ray_pass_counts_matmul(
@@ -547,22 +685,41 @@ def ray_pass_counts_matmul(
     # (GVOM_RAY_TIER64=1) further halves steps 1..31; measured before any
     # default flip (scratch/profile_step.py).
     meta_xy = build_meta([0, 1, 2, 3])
-    tiers = []  # (W, s_lo, s_hi, SB): steps s_lo..s_hi at u_mod=W
-    if _RAY_TIER64 and X > 64 and X % 64 == 0 and S >= 8:
-        t0 = min(S, 31)
-        tiers.append((64, 1, t0, t0))
+    tiers = []  # (kind, W, s_lo, s_hi, SB): steps s_lo..s_hi at u_mod=W
+    if _RAY_STEPPAIR and X > 64 and X % 64 == 0 and S >= 8:
+        # r4 step-paired mod-64 tier: steps 1..30 at HALF the matmul rows
+        # (two steps per row); the group-paired mod-128 tier picks up 31..63
+        t0 = min(S - (S % 2), 30)
+        if t0 >= 2:
+            tiers.append(("sp", 64, 1, t0, 0))
+        t1 = min(S, 63)
+        if t1 > t0:
+            tiers.append(("gp", 128, t0 + 1, t1, t1 - t0))
+    elif _RAY_TIER32 and X > 64 and X % 64 == 0 and S >= 16:
+        tiers.append(("gp", 32, 1, 15, 15))
+        tiers.append(("gp", 64, 16, min(S, 31), min(S, 31) - 15))
         if S > 31:
             t1 = min(S, 63)
-            tiers.append((128, 32, t1, t1 - 31))
+            tiers.append(("gp", 128, 32, t1, t1 - 31))
+    elif _RAY_TIER64 and X > 64 and X % 64 == 0 and S >= 8:
+        t0 = min(S, 31)
+        tiers.append(("gp", 64, 1, t0, t0))
+        if S > 31:
+            t1 = min(S, 63)
+            tiers.append(("gp", 128, 32, t1, t1 - 31))
     elif X > 128 and X % 128 == 0 and min(S, 63) >= 31:
-        tiers.append((128, 1, min(S, 63), 21))
+        tiers.append(("gp", 128, 1, min(S, 63), 21))
     if tiers:
         ys = jnp.arange(X)
         parts = []
-        for W, s_lo, s_hi, SBt in tiers:
+        for kind, W, s_lo, s_hi, SBt in tiers:
             S_t = s_hi - s_lo + 1
-            hist_t = _run_hist(meta_xy, startuv[:4], su_s, sv_s, 4, S_t, X, Z,
-                               interpret, paired=True, SB=SBt, u_mod=W, s_off=s_lo - 1)
+            if kind == "sp":
+                hist_t = _run_hist_steppair(meta_xy, startuv[:4], su_s, sv_s,
+                                            4, S_t, X, Z, interpret)
+            else:
+                hist_t = _run_hist(meta_xy, startuv[:4], su_s, sv_s, 4, S_t, X, Z,
+                                   interpret, paired=True, SB=SBt, u_mod=W, s_off=s_lo - 1)
             tiled = jnp.concatenate([hist_t] * (X // W), axis=2)   # [4, S_t, X, Z]
             s_n = jnp.arange(s_lo, s_hi + 1)
             lo = jnp.floor(startuv[:4, 0]).astype(jnp.int32)[:, None] - s_n[None, :]
@@ -570,7 +727,7 @@ def ray_pass_counts_matmul(
                 ys[None, None, :] <= (lo + 2 * s_n[None, :])[:, :, None]
             )
             parts.append(tiled * in_win[..., None].astype(jnp.float32))
-        s_done = tiers[-1][2]
+        s_done = tiers[-1][3]
         if S > s_done:
             # far steps: few live rays per (group, step) — a smaller chunk
             # cuts the rows streamed through the MXU ~4× (padding waste)

@@ -35,7 +35,7 @@ from profile_step import stage_scans
 
 
 def parse_xplane(logdir, steps):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
     assert files, f"no xplane under {logdir}"
@@ -46,14 +46,13 @@ def parse_xplane(logdir, steps):
         with open(f, "rb") as fh:
             xs.ParseFromString(fh.read())
         for plane in xs.planes:
-            if "TPU" not in plane.name or "#Chip" not in plane.name:
+            if "/device:TPU" not in plane.name:
                 continue
             stats_meta = {m.id: m.name for m in plane.stat_metadata.values()}
             ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
             for line in plane.lines:
-                if "XLA Ops" not in line.name and "Steps" not in line.name:
-                    if line.name not in ("XLA Ops",):
-                        continue
+                if line.name != "XLA Ops":
+                    continue
                 for ev in line.events:
                     name = ev_meta.get(ev.metadata_id, "?")
                     dur = ev.duration_ps / 1e9  # ms

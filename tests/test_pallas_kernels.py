@@ -175,11 +175,12 @@ def test_kernel_dtype_variants_exact(scene, monkeypatch, idx_dt, val_dt):
     np.testing.assert_allclose(canonical(n1, origin)[occ], np.asarray(n0)[occ], atol=1e-3)
 
 
-@pytest.mark.parametrize("tier64", [False, True])
+@pytest.mark.parametrize("tier64", [False, True, "steppair"])
 def test_raycast_window_tiers_exact(scene, monkeypatch, tier64):
     """The windowed near tiers stay exact vs the XLA path on a 256-wide grid:
-    default (mod-128 steps 1..63 + full-width far tier) and the opt-in
-    GVOM_RAY_TIER64 layout (mod-64 steps 1..31, mod-128 32..63, far)."""
+    the r4 step-paired mod-64 default (two steps per matmul row, quadrant
+    extraction), the r3 group-paired GVOM_RAY_TIER64 layout (mod-64 steps
+    1..31, mod-128 32..63, far), and the plain mod-128 fallback."""
     import dataclasses
 
     import gvom_tpu.ops.pallas_kernels as pk
@@ -194,7 +195,8 @@ def test_raycast_window_tiers_exact(scene, monkeypatch, tier64):
     pw, keep = binning.prepare_points(cfg, jnp.asarray(pad), jnp.asarray(mask), e)
     origin = gridops.compute_origin(cfg, e)
     ref = np.asarray(jax.jit(lambda: raycast.ray_pass_counts_xla(cfg, pw, keep, e, origin))())
-    monkeypatch.setattr(pk, "_RAY_TIER64", tier64)
+    monkeypatch.setattr(pk, "_RAY_STEPPAIR", tier64 == "steppair")
+    monkeypatch.setattr(pk, "_RAY_TIER64", tier64 is True)
     mm = np.asarray(pk.ray_pass_counts_matmul(cfg, pw, keep, e, origin, interpret=True))
     np.testing.assert_array_equal(mm, ref)
     assert ref.sum() > 0
