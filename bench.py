@@ -433,12 +433,20 @@ def _run_batched(args, cfg, scans, masks, egos, n_distinct):
     reps = jnp.arange(B, dtype=jnp.int32) % n_distinct
     bscans = scans[reps]
     bmasks = masks[reps]
+    begos_base = egos[reps]
 
     def step(carry, i):
         world, ego0 = carry
-        # egos advance each step so the origin moves (re-origin is exercised)
+        # egos advance each step so the origin moves (re-origin is exercised);
+        # scan POINTS translate rigidly with their assigned ego — a replayed
+        # log's scans are captured AT their ego, so per-step work stays
+        # constant. (The r1-r3 form replayed fixed points from egos drifting
+        # ~0.3 m/step away, so ray lengths — and the raycast stream — grew
+        # with step count: 11.1 ms/scan at 4 steps vs 14.8 at 64. That
+        # workload growth was the whole r3 "batched regression".)
         begos = ego0[None, :] + jnp.arange(B, dtype=jnp.float32)[:, None] * jnp.array([0.02, 0.01, 0.0], jnp.float32)
-        world, products = bstep(world, bscans, bmasks, begos)
+        shift = (begos - begos_base).astype(jnp.float32)
+        world, products = bstep(world, bscans + shift[:, None, :], bmasks, begos)
         probe = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in products)
         return (world, ego0 + jnp.array([0.3, 0.15, 0.0], jnp.float32)), probe
 
@@ -520,13 +528,15 @@ def _run_scaling(args, cfg, scans, masks, egos, n_distinct):
         reps = jnp.arange(B, dtype=jnp.int32) % n_distinct
         bscans = scans[reps]
         bmasks = masks[reps]
+        begos_base = egos[reps]
 
         def step(carry, i):
             world, ego0 = carry
             begos = ego0[None, :] + jnp.arange(B, dtype=jnp.float32)[:, None] * jnp.array(
                 [0.02, 0.01, 0.0], jnp.float32
             )
-            world, products = bstep(world, bscans, bmasks, begos)
+            shift = (begos - begos_base).astype(jnp.float32)   # rigid replay (see _run_batched)
+            world, products = bstep(world, bscans + shift[:, None, :], bmasks, begos)
             probe = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in products)
             return (world, ego0 + jnp.array([0.3, 0.15, 0.0], jnp.float32)), probe
 

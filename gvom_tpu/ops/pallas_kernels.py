@@ -1083,23 +1083,23 @@ def _xbox_epilogue_factory(rx: int, Z: int, W: int, U: int, V: int):
 
     Outputs are WINDOW layout (x-cropped, unrolled); the caller's torus roll
     stays in XLA where it fuses into the buffer-insert's update."""
-    H = W + 2 * rx
     pad = V - 2 * Z
 
-    def kernel(out_hbm, mom_ref, hit_ref, minh_ref, scratch, sem):
-        xb = pl.program_id(0)
-        dma = pltpu.make_async_copy(
-            out_hbm.at[pl.ds(xb * W, H)], scratch, sem
-        )
-        dma.start()
-        dma.wait()
+    def kernel(a_ref, b_ref, mom_ref, hit_ref, minh_ref):
+        # a_ref = this instance's W slices, b_ref = the NEXT block (its first
+        # 2rx rows are this window's right halo) — both standard auto-
+        # pipelined BlockSpecs, replacing the r3 serial start/wait DMA that
+        # ran the whole epilogue at ~2x its traffic floor (no overlap).
+        def src(r):
+            return a_ref[r] if r < W else b_ref[r - W]
+
         for w in range(W):
-            base = scratch[w + rx]            # [6, U, V]
+            base = src(w + rx)                # [6, U, V]
             acc = [base[i] for i in range(5)]
             for d in range(-rx, rx + 1):
                 if d == 0:
                     continue
-                t = scratch[w + rx + d]
+                t = src(w + rx + d)
                 df = float(d)
                 t0, t1, t2 = t[0], t[1], t[2]
                 acc[0] = acc[0] + t0
@@ -1113,7 +1113,7 @@ def _xbox_epilogue_factory(rx: int, Z: int, W: int, U: int, V: int):
                 acc[4] = acc[4] + t[4]
             for i in range(5):
                 mom_ref[w, i] = acc[i]
-            rM = scratch[w + rx, 5]
+            rM = src(w + rx)[5]
             hitf = rM[:, Z: 2 * Z]            # counts are exact in f32
             hit_ref[w] = hitf.astype(jnp.int32)
             minh_ref[w] = jnp.where(hitf > 0.0, rM[:, :Z], 1.0)
@@ -1127,11 +1127,21 @@ def _xbox_epilogue(out: jnp.ndarray, rx: int, Z: int, X: int, interpret: bool = 
     W = 16
     while X % W:
         W //= 2
+    if W < 2 * rx:
+        # the lookahead-block halo needs 2rx ≤ W; huge eigen radii fall back
+        # to the (slower, exact) XLA translate
+        mom, rM = _xbox_translate_packed(out, rx, Z, X)
+        hit = rM[..., Z: 2 * Z].astype(jnp.int32)
+        return mom, hit, jnp.where(hit > 0, rM[..., :Z], 1.0)
     n_inst = X // W
+    blk = pl.BlockSpec((W, 6, U, V), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM)
+    # rx == 0: no halo — point the lookahead at the same block (never read)
+    nxt_idx = (lambda xb: (xb + 1, 0, 0, 0)) if rx > 0 else (lambda xb: (xb, 0, 0, 0))
+    nxt = pl.BlockSpec((W, 6, U, V), nxt_idx, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _xbox_epilogue_factory(rx, Z, W, U, V),
         grid=(n_inst,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[blk, nxt],
         out_specs=(
             pl.BlockSpec((W, 5, U, V), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, U, Z), lambda xb: (xb, 0, 0), memory_space=pltpu.VMEM),
@@ -1142,13 +1152,9 @@ def _xbox_epilogue(out: jnp.ndarray, rx: int, Z: int, X: int, interpret: bool = 
             jax.ShapeDtypeStruct((X, U, Z), jnp.int32),
             jax.ShapeDtypeStruct((X, U, Z), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((W + 2 * rx, 6, U, V), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(out)
+    )(out, out)
 
 
 def fused_point_moments(
