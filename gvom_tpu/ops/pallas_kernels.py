@@ -1084,14 +1084,39 @@ def _xbox_epilogue_factory(rx: int, Z: int, W: int, U: int, V: int):
     Outputs are WINDOW layout (x-cropped, unrolled); the caller's torus roll
     stays in XLA where it fuses into the buffer-insert's update."""
     pad = V - 2 * Z
+    H = W + 2 * rx
 
-    def kernel(a_ref, b_ref, mom_ref, hit_ref, minh_ref):
-        # a_ref = this instance's W slices, b_ref = the NEXT block (its first
-        # 2rx rows are this window's right halo) — both standard auto-
-        # pipelined BlockSpecs, replacing the r3 serial start/wait DMA that
-        # ran the whole epilogue at ~2x its traffic floor (no overlap).
+    def kernel(out_hbm, mom_ref, hit_ref, minh_ref, scratch, sems):
+        # Double-buffered manual DMA: overlapping H=W+2rx windows can't be
+        # expressed as BlockSpecs (index maps stride by the block size), and
+        # the r3 serial start/wait form ran at ~2x its traffic floor with no
+        # overlap. Instance xb kicks off window xb+1's copy before waiting on
+        # its own, so the DMA of the next window rides under this window's
+        # VPU translate.
+        xb = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        @pl.when(xb == 0)
+        def _():
+            pltpu.make_async_copy(
+                out_hbm.at[pl.ds(0, H)], scratch.at[0], sems.at[0]
+            ).start()
+
+        @pl.when(xb + 1 < n)
+        def _():
+            pltpu.make_async_copy(
+                out_hbm.at[pl.ds((xb + 1) * W, H)],
+                scratch.at[(xb + 1) % 2],
+                sems.at[(xb + 1) % 2],
+            ).start()
+
+        pltpu.make_async_copy(
+            out_hbm.at[pl.ds(xb * W, H)], scratch.at[xb % 2], sems.at[xb % 2]
+        ).wait()
+        cur = scratch.at[xb % 2]
+
         def src(r):
-            return a_ref[r] if r < W else b_ref[r - W]
+            return cur[r]
 
         for w in range(W):
             base = src(w + rx)                # [6, U, V]
@@ -1134,14 +1159,10 @@ def _xbox_epilogue(out: jnp.ndarray, rx: int, Z: int, X: int, interpret: bool = 
         hit = rM[..., Z: 2 * Z].astype(jnp.int32)
         return mom, hit, jnp.where(hit > 0, rM[..., :Z], 1.0)
     n_inst = X // W
-    blk = pl.BlockSpec((W, 6, U, V), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM)
-    # rx == 0: no halo — point the lookahead at the same block (never read)
-    nxt_idx = (lambda xb: (xb + 1, 0, 0, 0)) if rx > 0 else (lambda xb: (xb, 0, 0, 0))
-    nxt = pl.BlockSpec((W, 6, U, V), nxt_idx, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _xbox_epilogue_factory(rx, Z, W, U, V),
         grid=(n_inst,),
-        in_specs=[blk, nxt],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((W, 5, U, V), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((W, U, Z), lambda xb: (xb, 0, 0), memory_space=pltpu.VMEM),
@@ -1152,9 +1173,13 @@ def _xbox_epilogue(out: jnp.ndarray, rx: int, Z: int, X: int, interpret: bool = 
             jax.ShapeDtypeStruct((X, U, Z), jnp.int32),
             jax.ShapeDtypeStruct((X, U, Z), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, W + 2 * rx, 6, U, V), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(out, out)
+    )(out)
 
 
 def fused_point_moments(

@@ -39,15 +39,24 @@ from gvom_tpu.io import synthetic
 
 def main():
     n_burst = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    cfg = GvomConfig(xy_size=256, z_size=64, max_points=131072, buffer_size=8)
+    if "--cpu" in sys.argv:
+        # no-tunnel control: the facade's OWN per-call overhead (python,
+        # padding, lock, dispatch) at a tiny grid on the local CPU backend —
+        # isolates the tunnel's share of the TPU per-call number
+        jax.config.update("jax_platforms", "cpu")
+        cfg = GvomConfig(xy_size=32, z_size=16, max_points=512, buffer_size=8)
+    else:
+        cfg = GvomConfig(xy_size=256, z_size=64, max_points=131072, buffer_size=8)
     eng = Gvom(config=cfg)
     terrain = synthetic.composite_terrain()
     scans = []
     ego = np.array([0.5, 0.0, 1.6])
     for i in range(4):
         ego = ego + np.array([0.45, 0.25, 0.01])
+        ch = 8 if "--cpu" in sys.argv else 128
+        az = 64 if "--cpu" in sys.argv else 1200
         pts = synthetic.simulate_lidar_scan(
-            terrain, ego, channels=128, azimuth_steps=1200, max_range=60.0,
+            terrain, ego, channels=ch, azimuth_steps=az, max_range=60.0,
             seed=i, coarse_step=0.5, refine_iters=12)
         scans.append((pts, ego.copy()))
 
@@ -65,7 +74,7 @@ def main():
         dt = time.perf_counter() - t0
         best = dt if best is None or dt < best else best
     print(json.dumps({
-        "metric": "facade_ingest_burst_rate_1chip_131072pts_256x256x64",
+        "metric": "facade_ingest_burst_rate_" + ("cpu_ctrl" if "--cpu" in sys.argv else "1chip_131072pts_256x256x64"),
         "value": round(n_burst / best, 2), "unit": "scans/s",
         "per_call_ms": round(best / n_burst * 1e3, 2), "n": n_burst,
         "sync": "none (async dispatch, one terminal block)",
@@ -81,7 +90,7 @@ def main():
         dt = time.perf_counter() - t0
         best = dt if best is None or dt < best else best
     print(json.dumps({
-        "metric": "facade_combine_rate_1chip_buffer8",
+        "metric": "facade_combine_rate_" + ("cpu_ctrl" if "--cpu" in sys.argv else "1chip_buffer8"),
         "value": round(n_cmb / best, 2), "unit": "Hz",
         "per_call_ms": round(best / n_cmb * 1e3, 2), "n": n_cmb,
         "sync": "per-call bool(ok) host sync (facade contract) — each call "
