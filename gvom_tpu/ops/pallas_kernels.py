@@ -643,7 +643,7 @@ def ray_pass_counts_matmul(
 
         # y-dominant pair: relabeled worklist — row j of the output IS the
         # slab-local dominant row, meta carries each half's absolute step
-        mcols = []
+        mcols, s_rows = [], []
         for g in (2, 3):
             off = jnp.broadcast_to(offsets[g], (S,))
             cnts = live_gs[g, 1:]
@@ -655,10 +655,43 @@ def ray_pass_counts_matmul(
             r = jnp.mod(rows[g] + origin[1], Y) - ys0
             tgt = jnp.where(hit, r, Ys)          # inactive steps → dropped row
             mcols.append(jnp.zeros((Ys + 1, 6), jnp.int32).at[tgt].set(src)[:Ys])
+            s_rows.append(jnp.zeros((Ys + 1,), jnp.int32).at[tgt].set(step_col)[:Ys])
         meta_rel = jnp.concatenate(
             [jnp.zeros((2, 1, 6), jnp.int32), jnp.stack(mcols)], axis=1)
-        hist_y = _run_hist(meta_rel, startuv[2:4], su_s, sv_s, 2, Ys, X, Z,
-                           interpret, paired=True, SB=Ys, relabel=True)
+        s_rows = jnp.stack(s_rows)               # [2, Ys] abs step per row (0 = dead)
+
+        # r4: tier the relabeled rows by their ABSOLUTE step, like the
+        # full-grid near tiers — a row at step s has u spanning 2s+1 cells,
+        # so near rows run at u mod 64 / mod 128 (the single full-width
+        # M=256 call measured 2.83 ms/scan at Ys=128, the slab ingest's
+        # biggest item). Each tier call zeroes the other tiers' counts, so
+        # its active-row table skips them entirely.
+        def rel_tier_meta(lo_s, hi_s):
+            s_col = meta_rel[:, :, 5]
+            keep = (s_col >= lo_s) & (s_col <= hi_s)
+            m = meta_rel.at[:, :, 3].set(jnp.where(keep, meta_rel[:, :, 3], 0))
+            return m.at[:, :, 4].set(jnp.where(keep, meta_rel[:, :, 4], 0))
+
+        if X > 128 and X % 128 == 0 and S > 8:
+            xs_i = jnp.arange(X)
+            lo_u = jnp.floor(startuv[2:4, 0]).astype(jnp.int32)[:, None] - s_rows
+            in_win = (xs_i[None, None, :] >= lo_u[:, :, None]) & (
+                xs_i[None, None, :] <= (lo_u + 2 * s_rows)[:, :, None]
+            )
+            hist_y = jnp.zeros((2, Ys, X, Z), jnp.float32)
+            for u_mod, lo_s, hi_s in ((64, 1, 30), (128, 31, 63), (None, 64, S)):
+                if lo_s > S:
+                    continue
+                h_t = _run_hist(rel_tier_meta(lo_s, min(hi_s, S)), startuv[2:4],
+                                su_s, sv_s, 2, Ys, X, Z, interpret, paired=True,
+                                SB=Ys, relabel=True, u_mod=u_mod)
+                if u_mod is not None:
+                    h_t = jnp.concatenate([h_t] * (X // u_mod), axis=2)
+                    h_t = h_t * in_win[..., None].astype(jnp.float32)
+                hist_y = hist_y + h_t
+        else:
+            hist_y = _run_hist(meta_rel, startuv[2:4], su_s, sv_s, 2, Ys, X, Z,
+                               interpret, paired=True, SB=Ys, relabel=True)
 
         # z-dominant groups (u = x, v = y → slab targets)
         meta_z = build_meta([4, 5], chunk=_CHUNK_FAR)

@@ -290,6 +290,28 @@ def main():
                        max(4, S // 8), args.repeats)
             print(json.dumps({"stage": "bstep per-scan", "ms": round(ms / B, 3)}))
 
+    # --- slab ingest scaling: per-device compute vs y-window width on the
+    # REAL kernels (SURVEY §2.3 item 2 / VERDICT r3 ask #5's measurement):
+    # one chip runs the exact per-device slab program of an n_space-way mesh
+    if on("slab"):
+        Y = cfg.xy_size
+        for nsp in (1, 2, 4, 8):
+            Ys = Y // nsp
+            ywin = None if nsp == 1 else (0, Ys)
+
+            def slab_ing(carry, i, ywin=ywin):
+                (dummy,) = carry
+                j = i % nd
+                g, ok = pipeline.ingest_scan(
+                    cfg, scans[j], masks[j], egos[j] + dummy, None, "auto",
+                    y_window=ywin)
+                probe = (jnp.sum(g.hit) + jnp.sum(g.miss) + jnp.sum(g.mom)
+                         ).astype(jnp.float32)
+                return (dummy + 0.0 * probe,), probe
+
+            timed(f"slab-ingest[n_space={nsp}, Ys={Ys}]", slab_ing,
+                  (jnp.float32(0.0),), S, args.repeats)
+
     if on("contract"):
         K = 8
 

@@ -70,6 +70,8 @@ def main():
     ap.add_argument("--xy-size", type=int, default=256)
     ap.add_argument("--z-size", type=int, default=64)
     ap.add_argument("--combine-impl", default="auto")
+    ap.add_argument("--slab-ys", type=int, default=0,
+                    help="slabingest stage: y-window width (default xy_size//2)")
     args = ap.parse_args()
 
     cfg = GvomConfig(xy_size=args.xy_size, z_size=args.z_size,
@@ -81,6 +83,13 @@ def main():
     def step(carry, i):
         buf, world = carry
         j = i % nd
+        if args.stage == "slabingest":
+            ys = args.slab_ys or cfg.xy_size // 2
+            ywin = None if ys >= cfg.xy_size else (0, ys)
+            g, _ = pipeline.ingest_scan(cfg, scans[j], masks[j], egos[j], None,
+                                        "auto", y_window=ywin)
+            probe = (jnp.sum(g.hit) + jnp.sum(g.miss) + jnp.sum(g.mom)).astype(jnp.float32)
+            return (buf, world), probe
         if args.stage in ("contract", "full", "ingest"):
             buf, _ = pipeline.ingest_and_insert(cfg, buf, scans[j], masks[j], egos[j])
         if args.stage == "full":
