@@ -16,7 +16,7 @@ from gvom_tpu.types import empty_buffer_state, empty_world_state
 
 from conftest import make_scan
 
-pytestmark = pytest.mark.quick
+# not 'quick': interpret-mode fused-combine runs ~70 s of this module alone
 
 
 @pytest.fixture(scope="module")

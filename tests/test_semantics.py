@@ -177,6 +177,7 @@ def test_raycast_never_counts_endpoint(prop_cfg):
             assert passes[tuple(w)] == 0, f"endpoint voxel {v} marked as pass-through"
 
 
+@pytest.mark.noquick
 def test_encoding_partition(prop_cfg):
     """Dense-encoding invariant (reference index map partition, gvom.py:1152-59):
     evidence is free-space only — strictly zero wherever a voxel is occupied,
