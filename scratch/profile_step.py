@@ -292,7 +292,12 @@ def main():
 
     # --- slab ingest scaling: per-device compute vs y-window width on the
     # REAL kernels (SURVEY §2.3 item 2 / VERDICT r3 ask #5's measurement):
-    # one chip runs the exact per-device slab program of an n_space-way mesh
+    # one chip runs the exact per-device slab program of an n_space-way mesh.
+    # CAUTION (r4): through the axon tunnel these scan-loop calls have
+    # returned anomalous ~0 ms for the windowed shapes (suspected terminal-
+    # side memoization of repeated identical computations); the recorded
+    # artifact uses scratch/traceprof.py --stage slabingest (xplane leaf-op
+    # sums), which is immune. Works correctly on CPU.
     if on("slab"):
         Y = cfg.xy_size
         for nsp in (1, 2, 4, 8):
