@@ -2,6 +2,15 @@
 
 Each candidate is timed as a 64-iteration chained lax.scan (same amortization
 as bench.py) on whatever backend is live.
+
+CAUTION on interpreting results (r4 post-mortem): the probe sums each
+output, and XLA legally folds order-invariant reductions THROUGH a sort —
+sort6_2key measured 0.001 ms because `sum(sort(x)) == sum(x)` let the whole
+sort be eliminated. Only the gather variants (not foldable) and the
+count-hist rows are trustworthy here. The authoritative per-op numbers come
+from scratch/traceprof.py; this file is kept as the record of WHY gathers
+were rejected (1-D gathers of 131k elements cost ~1-2 ms each on v5e, so
+sort payloads stay multi-operand).
 """
 
 import json

@@ -261,3 +261,31 @@ def test_point_overflow_accounting(small_cfg, capsys):
 
     for a, b in zip(full[1:], prefix[1:]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_legacy_orbax_layout(small_cfg, tmp_path):
+    """Snapshots written before `evidence` moved from VoxelGrid to WorldState
+    carry it inside the grid dict and lack the top-level key; load_world must
+    restore them rather than TypeError (ADVICE r3; a failed orbax restore
+    silently falls back to a much older snapshot in load_resumable)."""
+    pytest.importorskip("orbax.checkpoint")
+    import orbax.checkpoint as ocp
+
+    import jax.numpy as jnp
+
+    from gvom_tpu.types import empty_world_state
+
+    world = empty_world_state(small_cfg)
+    grid = world.grid._replace(hit=world.grid.hit.at[4, 5, 6].set(3))
+    legacy_ev = jnp.zeros(small_cfg.grid_shape, jnp.int32).at[1, 1, 1].set(9)
+    legacy = dict(grid._asdict())
+    legacy["evidence"] = legacy_ev               # pre-move layout
+    path = str(tmp_path / "legacy_ckpt")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"grid": legacy, "valid": jnp.asarray(True)}, force=True)
+    ckptr.wait_until_finished()
+
+    w = load_world(path)
+    assert int(w.grid.hit[4, 5, 6]) == 3
+    assert int(w.evidence[1, 1, 1]) == 9         # recovered from the grid dict
+    assert bool(w.valid)
