@@ -196,17 +196,8 @@ def combine(
     origin = buf.grids.origin[buf.last_slot]
     any_valid = jnp.any(buf.slot_valid)
 
-    use_fused = False
     if impl == "fused":
-        try:
-            from gvom_tpu.ops import pallas_kernels
-        except ImportError:
-            if impl == "fused":
-                raise
-            pallas_kernels = None
-        if pallas_kernels is not None:
-            use_fused = impl == "fused" or pallas_kernels.use_fast_path()
-    if use_fused:
+        # explicit request: let ImportError propagate if pallas is absent
         return _combine_fused(cfg, buf, world, ego, origin, any_valid)
 
     # --- phase A: occupancy + negative evidence (slot order latches) ---

@@ -1395,7 +1395,11 @@ def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
     pot = float(cfg.positive_obstacle_threshold)
     rh = float(cfg.robot_height)
     hct = int(cfg.hit_count_threshold)
-    rr2 = float(cfg.robot_radius) ** 2
+    # f32 round-trip before squaring so the ego-disk constant matches the
+    # XLA path's jnp.float32(robot_radius) ** 2 bit-for-bit (advertised
+    # bitwise identity; a f64 square can round to the other side of a cell)
+    import numpy as _np
+    rr2 = float(_np.float32(cfg.robot_radius) * _np.float32(cfg.robot_radius))
     g2l = float(cfg.ground_to_lidar_height)
 
     def kernel(org_ref, iscal_ref, ego_ref,

@@ -74,7 +74,11 @@ def load_world(path: str) -> WorldState:
         grid = VoxelGrid(**{k: jnp.asarray(v) for k, v in gdict.items()})
         ev = data.get("evidence", legacy_ev)
         if ev is None:
-            ev = jnp.zeros(grid.hit.shape, jnp.int32)
+            # evidence absent both top-level AND in the legacy grid layout:
+            # a malformed/truncated checkpoint. Raise (load_resumable then
+            # falls back to an older snapshot) instead of zero-filling, which
+            # would silently disable the staleness-veto decay semantics.
+            raise KeyError(f"checkpoint {path!r} has no 'evidence' array")
         return WorldState(
             grid=grid,
             evidence=jnp.asarray(ev),

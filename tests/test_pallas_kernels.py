@@ -152,7 +152,11 @@ def test_fused_moments_eigen_radii(xye, ze):
     np.testing.assert_allclose(canonical(s2_1, origin)[:, occ], np.asarray(s2_0)[:, occ], rtol=1e-5, atol=2e-3)
 
 
-@pytest.mark.parametrize("idx_dt,val_dt", [("int16", "int8"), ("int32", "bfloat16")])
+@pytest.mark.parametrize(
+    "idx_dt,val_dt",
+    [pytest.param("int16", "int8", marks=pytest.mark.archival),  # non-default knob combo
+     ("int32", "bfloat16")],
+)
 def test_kernel_dtype_variants_exact(scene, monkeypatch, idx_dt, val_dt):
     """The patchable one-hot dtypes (int16 compares pack 2/lane; bf16 matmul
     operands hit the MXU natively) must stay exact — these are the variants
@@ -175,7 +179,11 @@ def test_kernel_dtype_variants_exact(scene, monkeypatch, idx_dt, val_dt):
     np.testing.assert_allclose(canonical(n1, origin)[occ], np.asarray(n0)[occ], atol=1e-3)
 
 
-@pytest.mark.parametrize("tier64", [False, True, "steppair"])
+@pytest.mark.parametrize(
+    "tier64",
+    [False, True,
+     pytest.param("steppair", marks=pytest.mark.archival)],  # r4 measured dead end
+)
 def test_raycast_window_tiers_exact(scene, monkeypatch, tier64):
     """The windowed near tiers stay exact vs the XLA path on a 256-wide grid:
     the r4 step-paired mod-64 default (two steps per matmul row, quadrant
