@@ -276,7 +276,7 @@ def _run_combine(args, cfg, scans, masks, egos, n_distinct):
         world, products, _ = pipeline.combine(cfg, buf, world, ego)
         probe = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in products)
         bump = (probe > -1.0).astype(jnp.int32)  # always 1, but data-dependent
-        world = world._replace(grid=world.grid._replace(hit=world.grid.hit + bump))
+        world = world._replace(grid=world.grid._replace(hit_pk=world.grid.hit_pk + bump))
         return (buf, world), probe
 
     # buf must be an ARGUMENT, not a closure: closed-over device arrays are

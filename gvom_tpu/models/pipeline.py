@@ -103,21 +103,28 @@ def ingest_scan(
         s1 = gridops.window_to_torus(s1, origin)
         s2 = gridops.window_to_torus(s2, origin)
         mom = moments.pack_moments(n, s1, s2)
-    occ = hit > 0
-    # moments are NOT occupancy-masked here: every consumer (combine's slot
-    # fusion, the sharded psum merge) masks by source occupancy at merge
-    # time, so the mask here would be a redundant 240 MB read+write.
-    # Likewise a scan's negative evidence is exactly `miss` at unoccupied
-    # voxels — derived by consumers, never stored (one grid write per ingest
-    # + one read per combine slot saved; WorldState.evidence docstring).
+        # occupancy pre-mask — see fused_point_moments' epilogue note
+        mom = jnp.where(moments.packed_voxel_mask(hit > 0, cfg.z_size)[:, None], mom, 0.0)
+    # moments ARE occupancy-masked at ingest (r5): stored zero wherever
+    # hit == 0. Every consumer only reads them under (hit > 0) — reference
+    # combine_metrics gvom.py:198-266 — so this is observation-equivalent,
+    # and it turns the combine's per-slot mom merge masks into pure
+    # axis-alignment broadcasts (no data-dependent packed→mom-layout mask
+    # interleaves, which cost materialized pred copies per slot). The Pallas
+    # epilogue applies the mask in-kernel for free.
+    # A scan's negative evidence is exactly `miss` at unoccupied voxels —
+    # derived by consumers, never stored (one grid write per ingest + one
+    # read per combine slot saved; WorldState.evidence_pk docstring).
+    # Channels are stored lane-dense (y-paired [X, Y/2, 2Z], ops/grid) — the
+    # pack is a contiguous reshape the producer fusion writes directly.
     grid = VoxelGrid(
-        hit=hit,
-        miss=passes,
-        min_height=min_height,
+        hit_pk=gridops.pack_yz(hit),
+        miss_pk=gridops.pack_yz(passes),
+        minh_pk=gridops.pack_yz(min_height),
         mom=mom,
         origin=origin,
     )
-    scan_ok = jnp.any(occ)
+    scan_ok = jnp.any(grid.hit_pk > 0)
     return grid, scan_ok
 
 
@@ -206,65 +213,87 @@ def combine(
     # (gridops.align_to): a pre-aligned slot is consumed by both phases, which
     # tempts XLA into materializing ~200 MB masked copies per slot; folding
     # keeps every channel's merge a single fused read of the raw buffer.
-    shape = cfg.grid_shape
+    # Everything below runs on the lane-dense y-paired channel storage
+    # ([X, Y/2, 2Z], ops/grid) — same element order as [X, Y, Z], full tiles.
+    X, Y, Z = cfg.grid_shape
+    pshape = (X, Y // 2, 2 * Z)
     slots = []
     for i in range(cfg.buffer_size):
         g = _tree_slice(buf.grids, i)
-        amask = gridops.overlap_mask(cfg, origin, g.origin) & buf.slot_valid[i]
+        amask = gridops.overlap_mask_packed(cfg, origin, g.origin) & buf.slot_valid[i]
         slots.append((g, amask))
 
-    occ = jnp.zeros(shape, bool)
-    evidence = jnp.zeros(shape, jnp.int32)
+    occ = jnp.zeros(pshape, bool)
+    evidence = jnp.zeros(pshape, jnp.int32)
     for g, am in slots:
-        s_occ = (g.hit > 0) & am
+        s_occ = (g.hit_pk > 0) & am
         # a scan grid's negative evidence ≡ its miss count at unoccupied
         # voxels (derived, not stored — WorldState.evidence docstring)
-        s_ev = jnp.where(am & ~s_occ, g.miss, 0)
+        s_ev = jnp.where(am & ~s_occ, g.miss_pk, 0)
         evidence = jnp.where((s_ev > 0) & ~occ, evidence + s_ev, evidence)
         occ = occ | s_occ
 
     old = world.grid
-    old_mask = gridops.overlap_mask(cfg, origin, old.origin) & world.valid
-    old_occ = (old.hit > 0) & old_mask
+    old_mask = gridops.overlap_mask_packed(cfg, origin, old.origin) & world.valid
+    old_occ = (old.hit_pk > 0) & old_mask
     revive = old_occ & ~occ & (evidence <= cfg.decay_miss_limit)   # staleness veto (gvom.py:992)
     occ = occ | revive
-    old_ev = jnp.where(old_mask, world.evidence, 0)
+    old_ev = jnp.where(old_mask, world.evidence_pk, 0)
     evidence = jnp.where(~old_occ & (old_ev > 0) & ~occ, evidence + old_ev, evidence)
     # occupied-wins (gvom.py:947-950 overwrites negative evidence on allocate):
     # a later slot occupying a cell discards evidence earlier slots accumulated
     evidence = jnp.where(occ, 0, evidence)
 
     # --- phase B: data fusion where source voxel occupied & target occupied ---
-    hit = jnp.zeros(shape, jnp.int32)
-    miss = jnp.zeros(shape, jnp.int32)
-    min_height = jnp.ones(shape, jnp.float32)
-    mom = jnp.zeros((shape[0], moments.N_SLOTS, shape[1], moments.packed_lanes(shape[2])), jnp.float32)
+    hit = jnp.zeros(pshape, jnp.int32)
+    miss = jnp.zeros(pshape, jnp.int32)
+    min_height = jnp.ones(pshape, jnp.float32)
+    mom = jnp.zeros((X, moments.N_SLOTS, Y, moments.packed_lanes(Z)), jnp.float32)
 
-    def merge_data(acc, src: VoxelGrid, src_sel):
+    def merge_data(acc, src: VoxelGrid, src_sel, mom_mask):
         h, ms, mh, mo = acc
         m = src_sel
-        h = h + jnp.where(m, src.hit, 0)
-        ms = ms + jnp.where(m, src.miss, 0)
-        mh = jnp.where(m, jnp.minimum(mh, src.min_height), mh)
-        # raw voxel-local sums: a plain masked add, directly in packed layout
-        mpk = moments.packed_voxel_mask(m, cfg.z_size)
-        mo = mo + jnp.where(mpk[:, None], src.mom, 0.0)
+        h = h + jnp.where(m, src.hit_pk, 0)
+        ms = ms + jnp.where(m, src.miss_pk, 0)
+        mh = jnp.where(m, jnp.minimum(mh, src.minh_pk), mh)
+        # raw voxel-local sums: a plain masked add, directly in packed
+        # layout. Slot moms are occupancy-pre-masked at ingest, so their
+        # merge mask is the pure axis-alignment broadcast (mom orientation,
+        # built from per-axis factors — no data interleave); only the old
+        # world's mask carries the data-dependent occ2 factor.
+        mo = mo + jnp.where(mom_mask, src.mom, 0.0)
         return h, ms, mh, mo
 
+    def mom_axis_mask(src_origin, valid):
+        # [X, 1, Y, Vp] alignment mask in mom orientation (pure iota factors)
+        ax = gridops._overlap_axis_masks(cfg, origin, src_origin)
+        pad = moments.packed_lanes(Z) - 2 * Z
+        myz = ax[1][:, None] & ax[2][None, :]
+        parts = [myz, myz]
+        if pad:
+            parts.append(jnp.zeros(myz.shape[:-1] + (pad,), bool))
+        m = ax[0][:, None, None] & jnp.concatenate(parts, axis=-1)[None] & valid
+        return m[:, None]
+
     acc = (hit, miss, min_height, mom)
-    for g, am in slots:
-        acc = merge_data(acc, g, (g.hit > 0) & am)
-    acc = merge_data(acc, old, old_occ & occ)
+    for i, (g, am) in enumerate(slots):
+        acc = merge_data(acc, g, (g.hit_pk > 0) & am,
+                         mom_axis_mask(g.origin, buf.slot_valid[i]))
+    # old mom is occ-masked by induction (combine output moms are zero at
+    # unoccupied cells); the remaining factors are alignment ∧ occ2
+    occ2_mom = moments.packed_voxel_mask(gridops.unpack_yz(occ), cfg.z_size)
+    old_mom_mask = mom_axis_mask(old.origin, world.valid) & occ2_mom[:, None]
+    acc = merge_data(acc, old, old_occ & occ, old_mom_mask)
     hit, miss, min_height, mom = acc
 
     new_grid = VoxelGrid(
-        hit=hit,
-        miss=miss,
-        min_height=min_height,
+        hit_pk=hit,
+        miss_pk=miss,
+        minh_pk=min_height,
         mom=mom,
         origin=origin,
     )
-    new_world = WorldState(grid=new_grid, evidence=evidence, valid=jnp.asarray(True))
+    new_world = WorldState(grid=new_grid, evidence_pk=evidence, valid=jnp.asarray(True))
     new_world = _tree_where(any_valid, new_world, world)
 
     # --- 2D products (gvom.py:286-354) ---
@@ -309,7 +338,7 @@ def _combine_fused(cfg, buf, world, ego, origin, any_valid, interpret=False):
     origin_out = jnp.where(any_valid, origin, world.grid.origin)
     new_world = WorldState(
         grid=grid._replace(origin=origin_out),
-        evidence=evidence,
+        evidence_pk=evidence,
         valid=world.valid | any_valid,
     )
 

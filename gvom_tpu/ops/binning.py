@@ -206,4 +206,7 @@ def slab_point_moments(
     s1 = jnp.roll(jnp.roll(s1, rollx, axis=1), rollz, axis=3)
     s2 = jnp.roll(jnp.roll(s2, rollx, axis=1), rollz, axis=3)
     mom = moments_mod.pack_moments(n0, s1, s2)
+    # occupancy pre-mask (r5) — see pipeline.ingest_scan / the Pallas
+    # epilogue note: consumers read moments only under hit > 0
+    mom = jnp.where(moments_mod.packed_voxel_mask(hit > 0, Z)[:, None], mom, 0.0)
     return hit, mh, mom

@@ -24,6 +24,12 @@ __all__ = [
     "shift_align",
     "rel_coords",
     "overlap_mask",
+    "overlap_mask_packed",
+    "pack_yz",
+    "unpack_yz",
+    "packed_z_coord",
+    "expand_cols_packed",
+    "reduce_z_packed",
     "align_to",
     "window_to_torus",
     "torus_to_window",
@@ -89,6 +95,64 @@ def shift_align(arr: jnp.ndarray, d: jnp.ndarray, fill=0) -> jnp.ndarray:
 # 2D products and host exports.
 
 
+# ----------------------------------------------------------------------
+# Lane-dense ("y-paired") channel storage
+#
+# A [X, Y, Z] i32/f32 array with Z = 64 occupies TPU T(8, 128) tiles at HALF
+# lane utilization (the minor dim pads 64 → 128): 2× the HBM footprint, DMA
+# traffic, and VPU work of its logical size — measured as the blocker for the
+# r4 mega-combine kernel (BENCHMARKS.md). All hot grid channels (hit, miss,
+# min_height, evidence) are therefore STORED as the contiguous reshape
+# [X, Y/2, 2Z] — lanes = [z of even y | z of odd y] — which is
+# semantics-preserving (same element order), so every elementwise op
+# (merges, masks, psums) runs on the packed form unchanged. Only mask
+# construction and per-column z reductions need packed-aware forms (below
+# and ops/maps2d); cold consumers unpack via the VoxelGrid properties.
+# The pack factor is FIXED at 2 (xy_size must be even) so shapes are
+# self-describing; Z ≥ 64 is thus always lane-dense.
+
+
+def pack_yz(arr: jnp.ndarray) -> jnp.ndarray:
+    """[..., Y, Z] → [..., Y/2, 2Z] (contiguous reshape; Y must be even)."""
+    *lead, Y, Z = arr.shape
+    return arr.reshape(*lead, Y // 2, 2 * Z)
+
+
+def unpack_yz(arr: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_yz: [..., Y/2, 2Z] → [..., Y, Z]."""
+    *lead, R, L = arr.shape
+    return arr.reshape(*lead, 2 * R, L // 2)
+
+
+def packed_z_coord(z_size: int) -> jnp.ndarray:
+    """[2Z] int32: the z coordinate of each packed lane (l mod Z)."""
+    return jnp.tile(jnp.arange(z_size, dtype=jnp.int32), 2)
+
+
+def expand_cols_packed(v: jnp.ndarray, z_size: int) -> jnp.ndarray:
+    """Per-column 2D values [..., X, Y] → packed per-voxel [..., X, Y/2, 2Z]
+    by broadcasting each column's value over its z lane-segment. Pure
+    broadcast+concat — fuses, never materializes a [X, Y, Z] intermediate."""
+    *lead, X, Y = v.shape
+    v3 = v.reshape(*lead, X, Y // 2, 2)
+    tgt = tuple(lead) + (X, Y // 2, z_size)
+    lo = jnp.broadcast_to(v3[..., 0:1], tgt)
+    hi = jnp.broadcast_to(v3[..., 1:2], tgt)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def reduce_z_packed(arr: jnp.ndarray, op: str) -> jnp.ndarray:
+    """Per-column z reduction of a packed array [..., X, Y/2, 2Z] → [..., X, Y].
+    Two lane-half reductions + an interleave reshape (no [X, Y, Z]
+    intermediate). op ∈ {'min', 'max', 'sum'}."""
+    *lead, X, R, L = arr.shape
+    Z = L // 2
+    fn = {"min": jnp.min, "max": jnp.max, "sum": jnp.sum}[op]
+    lo = fn(arr[..., :Z], axis=-1)
+    hi = fn(arr[..., Z:], axis=-1)
+    return jnp.stack([lo, hi], axis=-1).reshape(*lead, X, 2 * R)
+
+
 def rel_coords(cfg: GvomConfig, origin: jnp.ndarray):
     """Per-axis window-relative coordinate of each array index: [X],[Y],[Z]."""
     out = []
@@ -116,21 +180,49 @@ def overlap_mask(cfg: GvomConfig, o_target: jnp.ndarray, o_source: jnp.ndarray, 
     return masks[0][:, None, None] & masks[1][None, :, None] & masks[2][None, None, :]
 
 
+def overlap_mask_packed(cfg: GvomConfig, o_target: jnp.ndarray, o_source: jnp.ndarray, coords=None) -> jnp.ndarray:
+    """overlap_mask in the y-paired storage layout: [X, Y/2, 2Z] bool.
+    Built directly from the per-axis masks (the y⊗z factor is a tiny
+    [Y, Z] → [Y/2, 2Z] reshape) — no [X, Y, Z] intermediate."""
+    per_axis = _overlap_axis_masks(cfg, o_target, o_source, coords)
+    myz = pack_yz(per_axis[1][:, None] & per_axis[2][None, :])
+    return per_axis[0][:, None, None] & myz[None]
+
+
+def _overlap_axis_masks(cfg, o_target, o_source, coords=None):
+    per_axis = []
+    for ax, size in enumerate(cfg.grid_shape):
+        i = coords[ax] if coords is not None else jnp.arange(size, dtype=jnp.int32)
+        rel_t = (i - o_target[ax]) % size
+        d = o_target[ax] - o_source[ax]
+        per_axis.append((rel_t >= -jnp.minimum(d, 0)) & (rel_t < size - jnp.maximum(d, 0)))
+    return per_axis
+
+
 def align_to(cfg: GvomConfig, grid, new_origin: jnp.ndarray, coords=None):
     """Re-origin a torus grid: pure masks — no data movement.
 
     Raw voxel-local moment sums are frame-invariant, so the packed moment
     array is masked in place (lane-packed mask) like every other channel.
     `coords` as in overlap_mask (sharded grids)."""
-    from gvom_tpu.ops.moments import packed_voxel_mask
+    from gvom_tpu.ops.moments import packed_lanes
     from gvom_tpu.types import VoxelGrid
 
-    mask = overlap_mask(cfg, new_origin, grid.origin, coords)
-    mpk = packed_voxel_mask(mask, cfg.z_size)
+    per_axis = _overlap_axis_masks(cfg, new_origin, grid.origin, coords)
+    mask = per_axis[0][:, None, None] & pack_yz(per_axis[1][:, None] & per_axis[2][None, :])[None]
+    # mom's channel-paired lane mask ([Y, Vp]: both z halves + padding),
+    # built straight from the axis factors — no unpacked intermediate
+    Z = cfg.z_size
+    myz = per_axis[1][:, None] & per_axis[2][None, :]
+    pad = packed_lanes(Z) - 2 * Z
+    parts = [myz, myz]
+    if pad:
+        parts.append(jnp.zeros(myz.shape[:-1] + (pad,), myz.dtype))
+    mpk = per_axis[0][:, None, None] & jnp.concatenate(parts, axis=-1)[None]
     return VoxelGrid(
-        hit=jnp.where(mask, grid.hit, 0),
-        miss=jnp.where(mask, grid.miss, 0),
-        min_height=jnp.where(mask, grid.min_height, 1.0),
+        hit_pk=jnp.where(mask, grid.hit_pk, 0),
+        miss_pk=jnp.where(mask, grid.miss_pk, 0),
+        minh_pk=jnp.where(mask, grid.minh_pk, 1.0),
         mom=jnp.where(mpk[:, None], grid.mom, 0.0),
         origin=new_origin,
     )

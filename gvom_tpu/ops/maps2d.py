@@ -50,16 +50,26 @@ def _z_priority(cfg: GvomConfig, origin: jnp.ndarray) -> jnp.ndarray:
     return (jnp.arange(Z, dtype=jnp.int32) - origin[2]) % Z
 
 
-def _first_in_column(cfg: GvomConfig, mask: jnp.ndarray, origin: jnp.ndarray):
-    """(any, rel_z of first, torus one-hot of first) for a bottom-up column
-    scan over a torus-layout [X,Y,Z] mask (replaces the reference's per-column
-    z loop, gvom.py:536-554, without data movement)."""
+def _z_priority_packed(cfg: GvomConfig, origin: jnp.ndarray) -> jnp.ndarray:
+    """[2Z] window-relative z per y-paired lane (ops/grid layout)."""
+    from gvom_tpu.ops.grid import packed_z_coord
+
+    return (packed_z_coord(cfg.z_size) - origin[2]) % cfg.z_size
+
+
+def _first_in_column(cfg: GvomConfig, mask_pk: jnp.ndarray, origin: jnp.ndarray):
+    """(any [X,Y], rel_z of first [X,Y], packed one-hot of first) for a
+    bottom-up column scan over a torus-layout y-paired [X, Y/2, 2Z] mask
+    (replaces the reference's per-column z loop, gvom.py:536-554, without
+    data movement)."""
+    from gvom_tpu.ops.grid import expand_cols_packed, reduce_z_packed
+
     Z = cfg.z_size
-    pz = _z_priority(cfg, origin)[None, None, :]
-    score = jnp.where(mask, pz, Z)
-    zrel = jnp.min(score, axis=2)
+    pz = _z_priority_packed(cfg, origin)[None, None, :]
+    score = jnp.where(mask_pk, pz, Z)
+    zrel = reduce_z_packed(score, "min")
     any_hit = zrel < Z
-    sel = mask & (score == zrel[..., None])
+    sel = mask_pk & (score == expand_cols_packed(zrel, Z))
     return any_hit, zrel, sel
 
 
@@ -72,14 +82,17 @@ def height_map(
     y_coords: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """First-occupied-voxel height per column with the ego-disk pre-seed
-    (gvom.py:523-540). Inputs are torus-layout; the output 2D map is also
+    (gvom.py:523-540). 3D inputs are torus-layout in the y-paired packed
+    storage ([X, Y/2, 2Z], ops/grid); the output 2D map is
     torus-layout in (x, y) — canonicalize with torus_to_window for stencils.
 
     `y_coords` optionally gives the global torus y index of each input column
     (a y-sharded caller passes its slab's indices; default 0..X-1)."""
+    from gvom_tpu.ops.grid import reduce_z_packed
+
     X = cfg.xy_size
     any_occ, zrel, sel = _first_in_column(cfg, occ, origin)
-    mh = jnp.sum(jnp.where(sel, min_height, 0.0), axis=2)
+    mh = reduce_z_packed(jnp.where(sel, min_height, 0.0), "sum")
     col_h = (mh + zrel.astype(jnp.float32) + origin[2].astype(jnp.float32)) * cfg.z_resolution
     if y_coords is None:
         y_coords = jnp.arange(X, dtype=jnp.int32)
@@ -95,7 +108,8 @@ def height_map(
 def inferred_height_map(
     cfg: GvomConfig, occ: jnp.ndarray, evidence: jnp.ndarray, origin: jnp.ndarray
 ) -> jnp.ndarray:
-    """First observed-empty voxel per column (gvom.py:542-554); torus in/out."""
+    """First observed-empty voxel per column (gvom.py:542-554); torus in/out
+    (3D inputs y-paired packed)."""
     miss = (~occ) & (evidence > 0)
     any_miss, zrel, _ = _first_in_column(cfg, miss, origin)
     ih = (zrel.astype(jnp.float32) + origin[2].astype(jnp.float32)) * cfg.z_resolution
@@ -281,20 +295,23 @@ def positive_obstacle_map(
     """Mean occupied-voxel density in the column band
     [height+threshold, height+robot_height] (gvom.py:487-521).
 
-    All inputs (3D grid, hm, slopes) and the output are torus-layout; the band
-    test uses each voxel's window-relative z (pure iota arithmetic)."""
+    All inputs (3D grid channels y-paired packed, hm, slopes) and the output
+    are torus-layout; the band test uses each voxel's window-relative z (pure
+    iota arithmetic)."""
+    from gvom_tpu.ops.grid import expand_cols_packed, reduce_z_packed
+
     Z = cfg.z_size
     steep = jnp.sqrt(slope_x * slope_x + slope_y * slope_y) >= jnp.float32(cfg.slope_obstacle_threshold)
     o2 = origin[2].astype(jnp.float32)
     lo = jnp.floor((hm + cfg.positive_obstacle_threshold) / cfg.z_resolution - o2).astype(jnp.int32) + 1
     hi = jnp.floor((hm + cfg.robot_height) / cfg.z_resolution - o2).astype(jnp.int32)
     band_ok = (lo >= 0) & (lo < Z) & (hi >= 0) & (hi < Z)
-    zs = _z_priority(cfg, origin)[None, None, :] * jnp.ones(occ.shape, jnp.int32)
-    in_band = (zs >= lo[..., None]) & (zs <= hi[..., None])
+    zs = _z_priority_packed(cfg, origin)[None, None, :]
+    in_band = (zs >= expand_cols_packed(lo, Z)) & (zs <= expand_cols_packed(hi, Z))
     strong = occ & (hit > cfg.hit_count_threshold)
     sel = in_band & strong
-    num = jnp.sum(jnp.where(sel, hit, 0), axis=2).astype(jnp.float32)
-    den = jnp.sum(jnp.where(sel, total, 0), axis=2).astype(jnp.float32)
+    num = reduce_z_packed(jnp.where(sel, hit, 0), "sum").astype(jnp.float32)
+    den = reduce_z_packed(jnp.where(sel, total, 0), "sum").astype(jnp.float32)
     dens = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
     val = (dens * 100.0).astype(jnp.int32)
     return jnp.where(steep, 100, jnp.where(band_ok, val, 0))

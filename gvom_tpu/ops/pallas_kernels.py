@@ -1169,10 +1169,21 @@ def _xbox_epilogue_factory(rx: int, Z: int, W: int, U: int, V: int):
                     parts.append(jnp.zeros((U, pad), jnp.float32))
                 acc[3] = acc[3] + t[3] + jnp.concatenate(parts, axis=1)
                 acc[4] = acc[4] + t[4]
-            for i in range(5):
-                mom_ref[w, i] = acc[i]
             rM = src(w + rx)[5]
             hitf = rM[:, Z: 2 * Z]            # counts are exact in f32
+            # occupancy pre-mask (r5): moments are stored zero at unoccupied
+            # voxels — every consumer (combine slot fusion, batched merge,
+            # exporters) only reads them under (hit > 0) anyway, and masking
+            # HERE (a lane concat of the hit mask the kernel already has)
+            # lets the combine's slot mom merges use pure axis-alignment
+            # masks instead of data-dependent interleaved masks.
+            om = (hitf > 0.0).astype(jnp.float32)
+            parts = [om, om]
+            if pad:
+                parts.append(jnp.zeros((U, pad), jnp.float32))
+            omm = jnp.concatenate(parts, axis=1)
+            for i in range(5):
+                mom_ref[w, i] = acc[i] * omm
             hit_ref[w] = hitf.astype(jnp.int32)
             minh_ref[w] = jnp.where(hitf > 0.0, rM[:, :Z], 1.0)
 
@@ -1354,6 +1365,9 @@ def fused_point_moments(
         mom, rM = _xbox_translate_packed(out, rx, Z, X)
         hit = rM[..., Z : 2 * Z].astype(jnp.int32)
         minh = jnp.where(hit > 0, rM[..., :Z], 1.0)  # empty: 1.0 (gvom.py:1014-1015)
+        from gvom_tpu.ops.moments import packed_voxel_mask
+
+        mom = jnp.where(packed_voxel_mask(hit > 0, Z)[:, None], mom, 0.0)
     # raw sums need no normalization — move the x axis into torus layout
     # (leading-axis roll: contiguous) and return
     rollx = origin[0] % X
@@ -1386,6 +1400,8 @@ def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
     X, Y, Z = cfg.grid_shape
     from gvom_tpu.ops.moments import packed_lanes
 
+    R = Y // 2                         # packed y rows (y-paired channel storage)
+    L = 2 * Z                          # packed lanes: [z of even y | z of odd y]
     Vp = packed_lanes(Z)
     pad = Vp - 2 * Z
     UH = -1000.0                       # types.UNKNOWN_HEIGHT (import cycle)
@@ -1409,40 +1425,82 @@ def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
                hm_o, ihm_o, pnum_o, pden_o, bok_o):
         """org_ref (SMEM): [B+2, 3] i32 — slot origins, old origin, target.
         iscal_ref (SMEM): [B+2] i32 — slot_valid ×B, old_valid, any_valid.
-        ego_ref (SMEM): [3] f32."""
+        ego_ref (SMEM): [3] f32.
+
+        All scalar-channel refs are in the y-paired packed layout [.., R, L]
+        (ops/grid) — FULL 128-lane tiles at Z = 64, which is what makes this
+        kernel's VPU work and VMEM footprint match its logical size (the r4
+        form ran at half lane utilization and lost to XLA on padding alone).
+        Per-column (2D) outputs are written column-planar [W, R, 2] (lane 0 =
+        even y, lane 1 = odd y); the caller reshapes to [X, Y] in XLA."""
         xb = pl.program_id(0)
         ot0, ot1, ot2 = org_ref[B + 1, 0], org_ref[B + 1, 1], org_ref[B + 1, 2]
         anyv = iscal_ref[B + 1] > 0
-        yio = jax.lax.broadcasted_iota(jnp.int32, (Y, 1), 0)[:, 0]     # [Y]
-        zio = jax.lax.broadcasted_iota(jnp.int32, (Y, Z), 1)           # [Y,Z]
-        pz = (zio - ot2) % Z                       # window-relative z priority
+        rio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+        lio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+        half = (lio >= Z).astype(jnp.int32)
+        ypk = 2 * rio + half               # logical y per packed position
+        zpk = lio - half * Z               # logical z per packed position
+        pz = (zpk - ot2) % Z               # window-relative z priority
+        rio1 = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
 
-        def axis_ok_vec(coords, o_t, o_s, size):
+        def axis_ok(coords, o_t, o_s, size):
             rel_t = (coords - o_t) % size
             d = o_t - o_s
             return (rel_t >= -jnp.minimum(d, 0)) & (rel_t < size - jnp.maximum(d, 0))
 
+        def mom_mask(m):
+            # packed phase mask [R, L] → mom-orientation lane mask [Y, Vp]
+            # (mom rows are logical y; lanes are two z channel-halves + pad).
+            # Mosaic-supported interleave: lane concats + a (R, 2, Vp) →
+            # (Y, Vp) reshape (minor dim unchanged). Needed ONCE per w (the
+            # occ2 factor of the old-world mom mask); slot mom masks are pure
+            # iota axis masks since ingest pre-masks moms by occupancy.
+            mi = m.astype(jnp.int32)
+            lo, hi = mi[:, :Z], mi[:, Z:]
+            partsl = [lo, lo]
+            partsh = [hi, hi]
+            if pad:
+                zpadv = jnp.zeros((R, pad), jnp.int32)
+                partsl.append(zpadv)
+                partsh.append(zpadv)
+            even = jnp.concatenate(partsl, axis=1)
+            odd = jnp.concatenate(partsh, axis=1)
+            return jnp.stack([even, odd], axis=1).reshape(Y, Vp) > 0
+
+        # mom-orientation iota coordinates (rows = logical y, lanes = two z
+        # channel halves + padding lanes, which never match)
+        ym_io = jax.lax.broadcasted_iota(jnp.int32, (Y, Vp), 0)
+        lm_io = jax.lax.broadcasted_iota(jnp.int32, (Y, Vp), 1)
+        zm_io = jnp.where(lm_io < 2 * Z, lm_io % Z, jnp.int32(1 << 14))
+
+        def halves_cat(lo1, hi1, w_lanes):
+            # [R,1] per-half column values → [R, 2·w_lanes] broadcast form
+            a = jnp.broadcast_to(lo1, (R, w_lanes))
+            b = jnp.broadcast_to(hi1, (R, w_lanes))
+            return jnp.concatenate([a, b], axis=1)
+
         for w in range(W):
             xg = xb * W + w
             # ---- phase A: occupancy + slot-order evidence latching ----
-            occ = jnp.zeros((Y, Z), jnp.bool_)
-            ev = jnp.zeros((Y, Z), jnp.int32)
+            occ = jnp.zeros((R, L), jnp.bool_)
+            ev = jnp.zeros((R, L), jnp.int32)
             smask = []
             for s in range(B):
-                okx = axis_ok_vec(xg, ot0, org_ref[s, 0], X) & (iscal_ref[s] > 0)
-                oky = axis_ok_vec(yio, ot1, org_ref[s, 1], X)
-                okz = axis_ok_vec(zio, ot2, org_ref[s, 2], Z)
-                am = (oky[:, None] & okz) & okx
+                okx = axis_ok(xg, ot0, org_ref[s, 0], X) & (iscal_ref[s] > 0)
+                oky = axis_ok(ypk, ot1, org_ref[s, 1], X)
+                okz = axis_ok(zpk, ot2, org_ref[s, 2], Z)
+                am = (oky & okz) & okx
                 h = bhit_ref[s, w]
                 s_occ = (h > 0) & am
                 s_ev = jnp.where(am & ~s_occ, bmiss_ref[s, w], 0)
                 ev = jnp.where((s_ev > 0) & ~occ, ev + s_ev, ev)
                 occ = occ | s_occ
                 smask.append(s_occ)
-            okx = axis_ok_vec(xg, ot0, org_ref[B, 0], X) & (iscal_ref[B] > 0)
-            oky = axis_ok_vec(yio, ot1, org_ref[B, 1], X)
-            okz = axis_ok_vec(zio, ot2, org_ref[B, 2], Z)
-            oam = (oky[:, None] & okz) & okx
+            okx = axis_ok(xg, ot0, org_ref[B, 0], X) & (iscal_ref[B] > 0)
+            oky = axis_ok(ypk, ot1, org_ref[B, 1], X)
+            okz = axis_ok(zpk, ot2, org_ref[B, 2], Z)
+            oam = (oky & okz) & okx
             old_h = ohit_ref[w]
             old_occ = (old_h > 0) & oam
             revive = old_occ & ~occ & (ev <= decay)     # staleness veto (gvom.py:992)
@@ -1452,9 +1510,9 @@ def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
             ev = jnp.where(occ2, 0, ev)                 # occupied-wins (gvom.py:947-950)
 
             # ---- phase B: occupied-source data fusion ----
-            hit = jnp.zeros((Y, Z), jnp.int32)
-            miss = jnp.zeros((Y, Z), jnp.int32)
-            mh = jnp.ones((Y, Z), jnp.float32)
+            hit = jnp.zeros((R, L), jnp.int32)
+            miss = jnp.zeros((R, L), jnp.int32)
+            mh = jnp.ones((R, L), jnp.float32)
             for s in range(B):
                 m = smask[s]
                 hit = hit + jnp.where(m, bhit_ref[s, w], 0)
@@ -1465,17 +1523,17 @@ def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
             miss = miss + jnp.where(mold, omiss_ref[w], 0)
             mh = jnp.where(mold, jnp.minimum(mh, ominh_ref[w]), mh)
 
-            def pk(m):
-                # Mosaic can't concatenate i1 vregs ("invalid vector register
-                # cast") — concat as i32 and rebuild the predicate
-                mi = m.astype(jnp.int32)
-                parts = [mi, mi]
-                if pad:
-                    parts.append(jnp.zeros((Y, pad), jnp.int32))
-                return jnp.concatenate(parts, axis=-1) > 0
-
-            pks = [pk(smask[s]) for s in range(B)]
-            pko = pk(mold)
+            # slot moms are occupancy-pre-masked at ingest → their merge
+            # masks are pure axis-alignment iota tests (no interleave)
+            pks = []
+            for s in range(B):
+                okxs = axis_ok(xg, ot0, org_ref[s, 0], X) & (iscal_ref[s] > 0)
+                pks.append(axis_ok(ym_io, ot1, org_ref[s, 1], X)
+                           & axis_ok(zm_io, ot2, org_ref[s, 2], Z) & okxs)
+            okxo = axis_ok(xg, ot0, org_ref[B, 0], X) & (iscal_ref[B] > 0)
+            pko = (axis_ok(ym_io, ot1, org_ref[B, 1], X)
+                   & axis_ok(zm_io, ot2, org_ref[B, 2], Z) & okxo
+                   & mom_mask(occ2))
             for c in range(5):
                 acc = jnp.zeros((Y, Vp), jnp.float32)
                 for s in range(B):
@@ -1489,56 +1547,76 @@ def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
             minh_o[w] = jnp.where(anyv, mh, ominh_ref[w])
             ev_o[w] = jnp.where(anyv, ev, oev_ref[w])
 
-            # ---- 2D column products (maps2d.height_map / inferred / pos) ----
+            # ---- 2D column products (maps2d.height_map / inferred / pos),
+            # computed per lane-half with keepdims reductions; outputs are
+            # column-planar [R, 2] ----
             score = jnp.where(occ2, pz, Z)
-            zrel = jnp.min(score, axis=-1)                     # [Y]
-            any_hit = zrel < Z
-            selc = occ2 & (score == zrel[:, None])
-            mhsum = jnp.sum(jnp.where(selc, mh, 0.0), axis=-1)
-            col_h = (mhsum + zrel.astype(jnp.float32)
+            zrel_lo = jnp.min(score[:, :Z], axis=1, keepdims=True)   # [R,1]
+            zrel_hi = jnp.min(score[:, Z:], axis=1, keepdims=True)
+            zrel_b = halves_cat(zrel_lo, zrel_hi, Z)
+            selc = occ2 & (score == zrel_b)
+            mhsel = jnp.where(selc, mh, 0.0)
+            mh_lo = jnp.sum(mhsel[:, :Z], axis=1, keepdims=True)
+            mh_hi = jnp.sum(mhsel[:, Z:], axis=1, keepdims=True)
+            mhsum = jnp.concatenate([mh_lo, mh_hi], axis=1)          # [R,2]
+            zrel2d = jnp.concatenate([zrel_lo, zrel_hi], axis=1)
+            any_hit = zrel2d < Z
+            col_h = (mhsum + zrel2d.astype(jnp.float32)
                      + ot2.astype(jnp.float32)) * zres
             relx = ((xg - ot0) % X).astype(jnp.float32)
-            rely = ((yio - ot1) % X).astype(jnp.float32)
+            ycol = 2 * rio1 + jnp.arange(2, dtype=jnp.int32)[None, :]  # [R,2]
+            rely = ((ycol - ot1) % X).astype(jnp.float32)
             gx = (ot0.astype(jnp.float32) + relx) * xyres - ego_ref[0]
             gy = (ot1.astype(jnp.float32) + rely) * xyres - ego_ref[1]
             disk = gx * gx + gy * gy <= rr2
             seed = jnp.where(disk, ego_ref[2] - g2l, UH)
-            hm = jnp.where(any_hit, col_h, seed)
-            hm_o[w, 0] = hm
+            hm = jnp.where(any_hit, col_h, seed)                     # [R,2]
+            hm_o[w] = hm
 
             miss_col = (~occ2) & (ev > 0)
             score2 = jnp.where(miss_col, pz, Z)
-            zrel2 = jnp.min(score2, axis=-1)
-            ihm_o[w, 0] = jnp.where(
-                zrel2 < Z,
-                (zrel2.astype(jnp.float32) + ot2.astype(jnp.float32)) * zres,
+            z2_lo = jnp.min(score2[:, :Z], axis=1, keepdims=True)
+            z2_hi = jnp.min(score2[:, Z:], axis=1, keepdims=True)
+            z2 = jnp.concatenate([z2_lo, z2_hi], axis=1)
+            ihm_o[w] = jnp.where(
+                z2 < Z,
+                (z2.astype(jnp.float32) + ot2.astype(jnp.float32)) * zres,
                 UH,
             )
 
             o2f = ot2.astype(jnp.float32)
-            lo = jnp.floor((hm + pot) / zres - o2f).astype(jnp.int32) + 1
-            hi = jnp.floor((hm + rh) / zres - o2f).astype(jnp.int32)
-            band_ok = (lo >= 0) & (lo < Z) & (hi >= 0) & (hi < Z)
-            in_band = (pz >= lo[:, None]) & (pz <= hi[:, None])
+            lo2 = jnp.floor((hm + pot) / zres - o2f).astype(jnp.int32) + 1    # [R,2]
+            hi2 = jnp.floor((hm + rh) / zres - o2f).astype(jnp.int32)
+            band_ok = (lo2 >= 0) & (lo2 < Z) & (hi2 >= 0) & (hi2 < Z)
+            lo_b = halves_cat(lo2[:, 0:1], lo2[:, 1:2], Z)
+            hi_b = halves_cat(hi2[:, 0:1], hi2[:, 1:2], Z)
+            in_band = (pz >= lo_b) & (pz <= hi_b)
             strong = occ2 & (hit > hct)
             sel = in_band & strong
-            pnum_o[w, 0] = jnp.sum(jnp.where(sel, hit, 0), axis=-1)
-            pden_o[w, 0] = jnp.sum(jnp.where(sel, hit + miss, 0), axis=-1)
-            bok_o[w, 0] = band_ok.astype(jnp.int32)
+            nsel = jnp.where(sel, hit, 0)
+            dsel = jnp.where(sel, hit + miss, 0)
+            n_lo = jnp.sum(nsel[:, :Z], axis=1, keepdims=True)
+            n_hi = jnp.sum(nsel[:, Z:], axis=1, keepdims=True)
+            d_lo = jnp.sum(dsel[:, :Z], axis=1, keepdims=True)
+            d_hi = jnp.sum(dsel[:, Z:], axis=1, keepdims=True)
+            pnum_o[w] = jnp.concatenate([n_lo, n_hi], axis=1)
+            pden_o[w] = jnp.concatenate([d_lo, d_hi], axis=1)
+            bok_o[w] = band_ok.astype(jnp.int32)
 
     return kernel
 
 
 def fused_combine(cfg: GvomConfig, buf, world, ego_position, origin,
                   interpret: bool = False):
-    """One-HBM-pass combine. Returns (VoxelGrid, evidence, hm_t, ihm_t,
-    pnum_t, pden_t, bok_t) — grid channels with the any_valid latch already
-    applied, 2D maps in torus layout. Bitwise-identical to the XLA combine's
-    phase A/B and to maps2d's column products (one-hot column sums)."""
+    """One-HBM-pass combine. Returns (VoxelGrid, evidence_pk, hm_t, ihm_t,
+    pnum_t, pden_t, bok_t) — packed grid channels with the any_valid latch
+    already applied, 2D maps in torus layout. Bitwise-identical to the XLA
+    combine's phase A/B and to maps2d's column products."""
     from gvom_tpu.ops.moments import packed_lanes
     from gvom_tpu.types import VoxelGrid
 
     X, Y, Z = cfg.grid_shape
+    R, L = Y // 2, 2 * Z
     Vp = packed_lanes(Z)
     B = cfg.buffer_size
     W = _CMB_XB
@@ -1558,13 +1636,13 @@ def fused_combine(cfg: GvomConfig, buf, world, ego_position, origin,
     ego = ego_position.astype(jnp.float32)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    slot3 = pl.BlockSpec((B, W, Y, Z), lambda xb: (0, xb, 0, 0), memory_space=pltpu.VMEM)
+    slot3 = pl.BlockSpec((B, W, R, L), lambda xb: (0, xb, 0, 0), memory_space=pltpu.VMEM)
     slotm = pl.BlockSpec((B, W, 5, Y, Vp), lambda xb: (0, xb, 0, 0, 0), memory_space=pltpu.VMEM)
-    old3 = pl.BlockSpec((W, Y, Z), lambda xb: (xb, 0, 0), memory_space=pltpu.VMEM)
+    old3 = pl.BlockSpec((W, R, L), lambda xb: (xb, 0, 0), memory_space=pltpu.VMEM)
     oldm = pl.BlockSpec((W, 5, Y, Vp), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM)
-    # 2D outputs ride as [X, 1, Y] so the block's last two dims (1, Y)
-    # equal the array dims (Mosaic requires last-two divisibility-or-equal)
-    out2d = pl.BlockSpec((W, 1, Y), lambda xb: (xb, 0, 0), memory_space=pltpu.VMEM)
+    # 2D outputs are column-planar [X, R, 2] (lane 0/1 = even/odd y);
+    # reshaped to the torus [X, Y] maps in XLA below (contiguous)
+    out2d = pl.BlockSpec((W, R, 2), lambda xb: (xb, 0, 0), memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
         _combine_kernel_factory(cfg, B, W),
@@ -1574,24 +1652,24 @@ def fused_combine(cfg: GvomConfig, buf, world, ego_position, origin,
                   old3, old3, old3, oldm, old3],
         out_specs=(old3, old3, old3, oldm, old3, out2d, out2d, out2d, out2d, out2d),
         out_shape=(
-            jax.ShapeDtypeStruct((X, Y, Z), jnp.int32),
-            jax.ShapeDtypeStruct((X, Y, Z), jnp.int32),
-            jax.ShapeDtypeStruct((X, Y, Z), jnp.float32),
+            jax.ShapeDtypeStruct((X, R, L), jnp.int32),
+            jax.ShapeDtypeStruct((X, R, L), jnp.int32),
+            jax.ShapeDtypeStruct((X, R, L), jnp.float32),
             jax.ShapeDtypeStruct((X, 5, Y, Vp), jnp.float32),
-            jax.ShapeDtypeStruct((X, Y, Z), jnp.int32),
-            jax.ShapeDtypeStruct((X, 1, Y), jnp.float32),
-            jax.ShapeDtypeStruct((X, 1, Y), jnp.float32),
-            jax.ShapeDtypeStruct((X, 1, Y), jnp.int32),
-            jax.ShapeDtypeStruct((X, 1, Y), jnp.int32),
-            jax.ShapeDtypeStruct((X, 1, Y), jnp.int32),
+            jax.ShapeDtypeStruct((X, R, L), jnp.int32),
+            jax.ShapeDtypeStruct((X, R, 2), jnp.float32),
+            jax.ShapeDtypeStruct((X, R, 2), jnp.float32),
+            jax.ShapeDtypeStruct((X, R, 2), jnp.int32),
+            jax.ShapeDtypeStruct((X, R, 2), jnp.int32),
+            jax.ShapeDtypeStruct((X, R, 2), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(org, iscal, ego,
-      g.hit, g.miss, g.min_height, g.mom,
-      world.grid.hit, world.grid.miss, world.grid.min_height, world.grid.mom,
-      world.evidence)
+      g.hit_pk, g.miss_pk, g.minh_pk, g.mom,
+      world.grid.hit_pk, world.grid.miss_pk, world.grid.minh_pk, world.grid.mom,
+      world.evidence_pk)
     hit, miss, minh, mom, ev, hm_t, ihm_t, pnum, pden, bok = outs
-    hm_t, ihm_t, pnum, pden, bok = (a[:, 0, :] for a in (hm_t, ihm_t, pnum, pden, bok))
-    grid = VoxelGrid(hit=hit, miss=miss, min_height=minh, mom=mom, origin=origin)
+    hm_t, ihm_t, pnum, pden, bok = (a.reshape(X, Y) for a in (hm_t, ihm_t, pnum, pden, bok))
+    grid = VoxelGrid(hit_pk=hit, miss_pk=miss, minh_pk=minh, mom=mom, origin=origin)
     return grid, ev, hm_t, ihm_t, pnum, pden, bok

@@ -55,14 +55,17 @@ _ALL_AXES = (DATA_AXIS, SPACE_AXIS)
 
 def world_pspecs() -> WorldState:
     """PartitionSpecs for WorldState: grid y-axis sharded over `space`."""
+    # scalar channels are y-paired packed [X, Y/2, 2Z] (ops/grid): dim 1 is
+    # the packed y-row axis — contiguous y ranges, so sharding it over
+    # `space` IS the y-slab sharding (slab width Ys must stay even)
     g = VoxelGrid(
-        hit=P(None, SPACE_AXIS, None),
-        miss=P(None, SPACE_AXIS, None),
-        min_height=P(None, SPACE_AXIS, None),
+        hit_pk=P(None, SPACE_AXIS, None),
+        miss_pk=P(None, SPACE_AXIS, None),
+        minh_pk=P(None, SPACE_AXIS, None),
         mom=P(None, None, SPACE_AXIS, None),   # [X, N_SLOTS=5, Y, Vp]: y is dim 2
         origin=P(),
     )
-    return WorldState(grid=g, evidence=P(None, SPACE_AXIS, None), valid=P())
+    return WorldState(grid=g, evidence_pk=P(None, SPACE_AXIS, None), valid=P())
 
 
 def _merge_scan_grids(acc, contrib):
@@ -75,9 +78,9 @@ def _merge_scan_grids(acc, contrib):
     a, a_ev = acc
     b, b_ev = contrib
     g = VoxelGrid(
-        hit=a.hit + b.hit,
-        miss=a.miss + b.miss,
-        min_height=jnp.minimum(a.min_height, b.min_height),
+        hit_pk=a.hit_pk + b.hit_pk,
+        miss_pk=a.miss_pk + b.miss_pk,
+        minh_pk=jnp.minimum(a.minh_pk, b.minh_pk),
         mom=a.mom + b.mom,
         origin=a.origin,
     )
@@ -139,7 +142,9 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
         cfg = dataclasses.replace(
             cfg, ray_steps_override=max(cfg.xy_size, cfg.z_size) + 4
         )
-    yslab = {"hit": 1, "miss": 1, "min_height": 1, "mom": 2}
+    if Ys % 2 != 0:
+        raise ValueError(f"slab width {Ys} must be even (y-paired channel storage)")
+    yslab_mom = 2                     # mom [X, 5, Y, Vp]: y is dim 2
 
     def device_fn(world: WorldState, scans, valid, egos):
         # ---- common frame: origin of the batch's globally-last scan ----
@@ -166,9 +171,9 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
                 ok = jax.lax.pmax(ok.astype(jnp.int32), SPACE_AXIS) > 0
             dead = ~ok
             # this scan's negative evidence: misses at its unoccupied voxels
-            ev = jnp.where(dead | (g.hit > 0), 0, g.miss)
+            ev = jnp.where(dead | (g.hit_pk > 0), 0, g.miss_pk)
             g = jax.tree_util.tree_map(lambda l: jnp.where(dead, jnp.zeros_like(l), l), g)
-            g = g._replace(origin=origin, min_height=jnp.where(dead, jnp.ones_like(g.min_height), g.min_height))
+            g = g._replace(origin=origin, minh_pk=jnp.where(dead, jnp.ones_like(g.minh_pk), g.minh_pk))
             return _merge_scan_grids(carry, (g, ev)), ok
 
         from gvom_tpu.ops.moments import packed_lanes
@@ -179,13 +184,13 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
         else:
             X, Z = cfg.xy_size, cfg.z_size
             init_g = VoxelGrid(
-                hit=jnp.zeros((X, Ys, Z), jnp.int32),
-                miss=jnp.zeros((X, Ys, Z), jnp.int32),
-                min_height=jnp.ones((X, Ys, Z), jnp.float32),
+                hit_pk=jnp.zeros((X, Ys // 2, 2 * Z), jnp.int32),
+                miss_pk=jnp.zeros((X, Ys // 2, 2 * Z), jnp.int32),
+                minh_pk=jnp.ones((X, Ys // 2, 2 * Z), jnp.float32),
                 mom=jnp.zeros((X, 5, Ys, packed_lanes(Z)), jnp.float32),
                 origin=origin,
             )
-        init = (init_g, jnp.zeros_like(init_g.miss))
+        init = (init_g, jnp.zeros_like(init_g.miss_pk))
         (local, local_ev), oks = jax.lax.scan(ingest_one, init, (scans, valid, egos))
 
         # ---- reduce contributions into this device's y-slab ----
@@ -194,9 +199,9 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
             # slab-sized arrays over `data`; no space-axis grid traffic
             # (when nsp == 1 the full grid IS the slab)
             contrib = VoxelGrid(
-                hit=jax.lax.psum(local.hit, DATA_AXIS),
-                miss=jax.lax.psum(local.miss, DATA_AXIS),
-                min_height=-jax.lax.pmax(-local.min_height, DATA_AXIS),
+                hit_pk=jax.lax.psum(local.hit_pk, DATA_AXIS),
+                miss_pk=jax.lax.psum(local.miss_pk, DATA_AXIS),
+                minh_pk=-jax.lax.pmax(-local.minh_pk, DATA_AXIS),
                 mom=jax.lax.psum(local.mom, DATA_AXIS),
                 origin=origin,
             )
@@ -209,15 +214,17 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
                 x = jax.lax.psum_scatter(x, SPACE_AXIS, scatter_dimension=dim, tiled=True)
                 return jax.lax.psum(x, DATA_AXIS)
 
-            minh_full = -jax.lax.pmax(-local.min_height, _ALL_AXES)
+            minh_full = -jax.lax.pmax(-local.minh_pk, _ALL_AXES)
             contrib = VoxelGrid(
-                hit=rs(local.hit, yslab["hit"]),
-                miss=rs(local.miss, yslab["miss"]),
-                min_height=jax.lax.dynamic_slice_in_dim(minh_full, ys0, Ys, axis=1),
-                mom=rs(local.mom, yslab["mom"]),
+                hit_pk=rs(local.hit_pk, 1),
+                miss_pk=rs(local.miss_pk, 1),
+                # packed dim 1 rows are y pairs: the slab [ys0, ys0+Ys) is
+                # rows [ys0/2, ys0/2 + Ys/2)
+                minh_pk=jax.lax.dynamic_slice_in_dim(minh_full, ys0 // 2, Ys // 2, axis=1),
+                mom=rs(local.mom, yslab_mom),
                 origin=origin,
             )
-            contrib_ev = rs(local_ev, yslab["miss"])
+            contrib_ev = rs(local_ev, 1)
 
         # ---- merge with the world slab: shard-local, masks only ----
         coords = (
@@ -226,12 +233,12 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
             jnp.arange(cfg.z_size, dtype=jnp.int32),
         )
         old = gridops.align_to(cfg, world.grid, origin, coords=coords)
-        omask = gridops.overlap_mask(cfg, origin, world.grid.origin, coords=coords)
-        old_ev = jnp.where(omask, world.evidence, 0)
+        omask = gridops.overlap_mask_packed(cfg, origin, world.grid.origin, coords=coords)
+        old_ev = jnp.where(omask, world.evidence_pk, 0)
         old_valid = world.valid
 
-        occ = contrib.hit > 0
-        old_occ = (old.hit > 0) & old_valid
+        occ = contrib.hit_pk > 0
+        old_occ = (old.hit_pk > 0) & old_valid
         revive = old_occ & ~occ & (contrib_ev <= cfg.decay_miss_limit)
         occ2 = occ | revive
         evidence = jnp.where(
@@ -241,18 +248,21 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
         )
         evidence = jnp.where(occ2, 0, evidence)                # occupied-wins
         msel = old_occ & occ2
-        mpk = moments.packed_voxel_mask(msel, cfg.z_size)
+        # old mom is occupancy-masked by induction (combine outputs and
+        # ingest contributions store zero at unoccupied voxels) and align_to
+        # already applied the alignment mask — occ2 is the only live factor
+        mpk = moments.packed_voxel_mask(gridops.unpack_yz(occ2), cfg.z_size)
         merged = VoxelGrid(
-            hit=contrib.hit + jnp.where(msel, old.hit, 0),
-            miss=contrib.miss + jnp.where(msel, old.miss, 0),
-            min_height=jnp.where(msel, jnp.minimum(contrib.min_height, old.min_height), contrib.min_height),
+            hit_pk=contrib.hit_pk + jnp.where(msel, old.hit_pk, 0),
+            miss_pk=contrib.miss_pk + jnp.where(msel, old.miss_pk, 0),
+            minh_pk=jnp.where(msel, jnp.minimum(contrib.minh_pk, old.minh_pk), contrib.minh_pk),
             mom=contrib.mom + jnp.where(mpk[:, None], old.mom, 0.0),
             origin=origin,
         )
 
         # ---- 2D products: column reductions on the slab, stencils on the
         # gathered (tiny) 2D maps ----
-        hm_slab = maps2d.height_map(cfg, occ2, merged.min_height, origin, ego_last, y_coords=y_coords)
+        hm_slab = maps2d.height_map(cfg, occ2, merged.minh_pk, origin, ego_last, y_coords=y_coords)
         ihm_slab = maps2d.inferred_height_map(cfg, occ2, evidence, origin)
         hm_t = jax.lax.all_gather(hm_slab, SPACE_AXIS, axis=1, tiled=True)
         ihm_t = jax.lax.all_gather(ihm_slab, SPACE_AXIS, axis=1, tiled=True)
@@ -263,7 +273,7 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
         sx_t = gridops.window_to_torus(sx, origin, grid_ndim=2)
         sy_t = gridops.window_to_torus(sy, origin, grid_ndim=2)
         pos_slab = maps2d.positive_obstacle_map(
-            cfg, occ2, merged.hit, merged.hit + merged.miss,
+            cfg, occ2, merged.hit_pk, merged.hit_pk + merged.miss_pk,
             jax.lax.dynamic_slice_in_dim(hm_t, ys0, Ys, axis=1),
             jax.lax.dynamic_slice_in_dim(sx_t, ys0, Ys, axis=1),
             jax.lax.dynamic_slice_in_dim(sy_t, ys0, Ys, axis=1),
@@ -279,7 +289,7 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
             negative_obstacle=neg, visibility=vis,
         )
 
-        new_world = WorldState(grid=merged, evidence=evidence, valid=jnp.asarray(True))
+        new_world = WorldState(grid=merged, evidence_pk=evidence, valid=jnp.asarray(True))
         return new_world, products
 
     scan_axes = DATA_AXIS if slab else _ALL_AXES

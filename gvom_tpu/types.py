@@ -52,17 +52,58 @@ class VoxelGrid(NamedTuple):
 
     origin is in voxel units per axis (x,y in xy_resolution units, z in
     z_resolution units), following gvom.py:123-126.
+
+    STORAGE LAYOUT (r5): the three scalar channels are stored lane-dense in
+    the y-paired layout [X, Y/2, 2Z] — the contiguous reshape of the logical
+    [X, Y, Z] grid (ops/grid.pack_yz). At the reference Z = 64 this fills
+    TPU T(8,128) tiles exactly instead of padding 64 → 128 lanes, halving
+    HBM footprint/traffic and VPU work for every hot consumer (the r4
+    mega-combine post-mortem's named blocker, BENCHMARKS.md). The reshape
+    preserves element order, so all elementwise merges/masks/psums run on
+    the stored form unchanged; the `hit`/`miss`/`min_height` properties
+    return unpacked [X, Y, Z] views for cold consumers (exporters, tests,
+    checkpoints).
     """
 
-    hit: jnp.ndarray         # [X, Y, Z] int32 — lidar endpoint hits
-    miss: jnp.ndarray        # [X, Y, Z] int32 — ray pass-throughs (data channel; reference total = hit+miss)
-    min_height: jnp.ndarray  # [X, Y, Z] float32 — sub-voxel z of lowest point, init 1.0 (gvom.py:1014)
+    hit_pk: jnp.ndarray      # [X, Y/2, 2Z] int32 — lidar endpoint hits (y-paired layout)
+    miss_pk: jnp.ndarray     # [X, Y/2, 2Z] int32 — ray pass-throughs (reference total = hit+miss)
+    minh_pk: jnp.ndarray     # [X, Y/2, 2Z] float32 — sub-voxel z of lowest point, init 1.0 (gvom.py:1014)
     mom: jnp.ndarray         # [X, 5, Y, Vp] float32 — the ten raw voxel-local moment sums
                              #   (n, S1, R2 — reference metrics[0:10], gvom.py:1170-1299) in the
                              #   packed two-channels-per-lane-half layout of ops.moments
                              #   (pack_moments/unpack_moments); all hot-path ops on it are
                              #   elementwise, the split happens only at cold read points
     origin: jnp.ndarray      # [3] int32 — grid origin in voxel units
+
+    @property
+    def hit(self) -> jnp.ndarray:
+        """[.., X, Y, Z] unpacked view (cold paths; hot code uses hit_pk)."""
+        from gvom_tpu.ops.grid import unpack_yz
+
+        return unpack_yz(self.hit_pk)
+
+    @property
+    def miss(self) -> jnp.ndarray:
+        from gvom_tpu.ops.grid import unpack_yz
+
+        return unpack_yz(self.miss_pk)
+
+    @property
+    def min_height(self) -> jnp.ndarray:
+        from gvom_tpu.ops.grid import unpack_yz
+
+        return unpack_yz(self.minh_pk)
+
+    @classmethod
+    def from_logical(cls, hit, miss, min_height, mom, origin) -> "VoxelGrid":
+        """Construct from logical [.., X, Y, Z] channel arrays (cold paths,
+        tests); packs into the stored y-paired layout."""
+        from gvom_tpu.ops.grid import pack_yz
+
+        return cls(hit_pk=pack_yz(jnp.asarray(hit)),
+                   miss_pk=pack_yz(jnp.asarray(miss)),
+                   minh_pk=pack_yz(jnp.asarray(min_height)),
+                   mom=jnp.asarray(mom), origin=jnp.asarray(origin))
 
     @property
     def occupied(self) -> jnp.ndarray:
@@ -86,9 +127,25 @@ class WorldState(NamedTuple):
     """
 
     grid: VoxelGrid
-    evidence: jnp.ndarray    # [X, Y, Z] int32 — pass count accumulated while the voxel stayed
-                             #   unoccupied (reference index == -evidence-1, gvom.py:962-997)
+    evidence_pk: jnp.ndarray  # [X, Y/2, 2Z] int32 (y-paired layout) — pass count accumulated
+                              #   while the voxel stayed unoccupied (reference
+                              #   index == -evidence-1, gvom.py:962-997)
     valid: jnp.ndarray       # [] bool — False until the first combine (no previous map)
+
+    @classmethod
+    def from_logical(cls, grid: "VoxelGrid", evidence, valid) -> "WorldState":
+        """Construct with a logical [X, Y, Z] evidence array (cold paths)."""
+        from gvom_tpu.ops.grid import pack_yz
+
+        return cls(grid=grid, evidence_pk=pack_yz(jnp.asarray(evidence)),
+                   valid=jnp.asarray(valid))
+
+    @property
+    def evidence(self) -> jnp.ndarray:
+        """[X, Y, Z] unpacked view (cold paths; hot code uses evidence_pk)."""
+        from gvom_tpu.ops.grid import unpack_yz
+
+        return unpack_yz(self.evidence_pk)
 
 
 class BufferState(NamedTuple):
@@ -134,19 +191,21 @@ class MapProducts(NamedTuple):
 
 def empty_voxel_grid(cfg: GvomConfig) -> VoxelGrid:
     x, y, z = cfg.grid_shape
+    assert y % 2 == 0, "xy_size must be even (y-paired channel storage)"
     return VoxelGrid(
-        hit=jnp.zeros((x, y, z), jnp.int32),
-        miss=jnp.zeros((x, y, z), jnp.int32),
-        min_height=jnp.ones((x, y, z), jnp.float32),
+        hit_pk=jnp.zeros((x, y // 2, 2 * z), jnp.int32),
+        miss_pk=jnp.zeros((x, y // 2, 2 * z), jnp.int32),
+        minh_pk=jnp.ones((x, y // 2, 2 * z), jnp.float32),
         mom=jnp.zeros((x, N_SLOTS, y, packed_lanes(z)), jnp.float32),
         origin=jnp.zeros((3,), jnp.int32),
     )
 
 
 def empty_world_state(cfg: GvomConfig) -> WorldState:
+    x, y, z = cfg.grid_shape
     return WorldState(
         grid=empty_voxel_grid(cfg),
-        evidence=jnp.zeros(cfg.grid_shape, jnp.int32),
+        evidence_pk=jnp.zeros((x, y // 2, 2 * z), jnp.int32),
         valid=jnp.asarray(False),
     )
 

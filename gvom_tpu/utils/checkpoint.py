@@ -20,7 +20,22 @@ from gvom_tpu.types import VoxelGrid, WorldState
 
 __all__ = ["save_world", "load_world"]
 
-_FIELDS = list(VoxelGrid._fields)
+# On-disk layout is the LOGICAL [X, Y, Z] channel form (stable across the r5
+# lane-dense storage change): saves unpack via the VoxelGrid properties, loads
+# pack back (ops/grid.pack_yz). Old checkpoints restore unchanged.
+_FIELDS = ["hit", "miss", "min_height", "mom", "origin"]
+
+
+def _grid_from_logical(get) -> VoxelGrid:
+    from gvom_tpu.ops.grid import pack_yz
+
+    return VoxelGrid(
+        hit_pk=pack_yz(jnp.asarray(get("hit"))),
+        miss_pk=pack_yz(jnp.asarray(get("miss"))),
+        minh_pk=pack_yz(jnp.asarray(get("min_height"))),
+        mom=jnp.asarray(get("mom")),
+        origin=jnp.asarray(get("origin")),
+    )
 
 
 def save_world(path: str, world: WorldState, cfg: Optional[GvomConfig] = None) -> str:
@@ -36,9 +51,10 @@ def save_world(path: str, world: WorldState, cfg: Optional[GvomConfig] = None) -
     if ocp is not None:
         path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
+        gdict = {f: np.asarray(getattr(world.grid, f)) for f in _FIELDS}
         ckptr.save(
             path,
-            {"grid": world.grid._asdict(), "evidence": world.evidence, "valid": world.valid},
+            {"grid": gdict, "evidence": np.asarray(world.evidence), "valid": world.valid},
             force=True,
         )
         ckptr.wait_until_finished()
@@ -71,7 +87,7 @@ def load_world(path: str) -> WorldState:
         # silently fall back to an older snapshot in load_resumable)
         gdict = dict(data["grid"])
         legacy_ev = gdict.pop("evidence", None)
-        grid = VoxelGrid(**{k: jnp.asarray(v) for k, v in gdict.items()})
+        grid = _grid_from_logical(gdict.__getitem__)
         ev = data.get("evidence", legacy_ev)
         if ev is None:
             # evidence absent both top-level AND in the legacy grid layout:
@@ -79,15 +95,19 @@ def load_world(path: str) -> WorldState:
             # falls back to an older snapshot) instead of zero-filling, which
             # would silently disable the staleness-veto decay semantics.
             raise KeyError(f"checkpoint {path!r} has no 'evidence' array")
+        from gvom_tpu.ops.grid import pack_yz
+
         return WorldState(
             grid=grid,
-            evidence=jnp.asarray(ev),
+            evidence_pk=pack_yz(jnp.asarray(ev)),
             valid=jnp.asarray(data["valid"]),
         )
     with np.load(path) as z:
-        grid = VoxelGrid(**{f: jnp.asarray(z[f]) for f in _FIELDS})
+        from gvom_tpu.ops.grid import pack_yz
+
+        grid = _grid_from_logical(lambda f: z[f])
         return WorldState(
             grid=grid,
-            evidence=jnp.asarray(z["evidence"]),
+            evidence_pk=pack_yz(jnp.asarray(z["evidence"])),
             valid=jnp.asarray(bool(z["valid"])),
         )

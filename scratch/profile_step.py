@@ -180,7 +180,7 @@ def main():
             world, products, _ = pipeline.combine(cfg, buf, world, egos[0], impl=args.combine_impl)
             probe = sum(jnp.sum(l).astype(jnp.float32) for l in products)
             bump = (probe > -1.0).astype(jnp.int32)
-            world = world._replace(grid=world.grid._replace(hit=world.grid.hit + bump))
+            world = world._replace(grid=world.grid._replace(hit_pk=world.grid.hit_pk + bump))
             return (buf, world), probe
 
         timed(f"combine[{args.combine_impl}]", cmb, (buf0, empty_world_state(cfg)), S, args.repeats)
@@ -253,17 +253,17 @@ def main():
                     p, m, e = xs
                     g, ok = pipeline.ingest_scan(bcfg, p, m, e, None, "auto", origin=o)
                     dead = ~ok
-                    ev = jnp.where(dead | (g.hit > 0), 0, g.miss)
+                    ev = jnp.where(dead | (g.hit_pk > 0), 0, g.miss_pk)
                     g = jax.tree_util.tree_map(
                         lambda l: jnp.where(dead, jnp.zeros_like(l), l), g)
-                    g = g._replace(origin=o, min_height=jnp.where(
-                        dead, jnp.ones_like(g.min_height), g.min_height))
+                    g = g._replace(origin=o, minh_pk=jnp.where(
+                        dead, jnp.ones_like(g.minh_pk), g.minh_pk))
                     return _merge_scan_grids(c, (g, ev)), ok
 
                 init_g = empty_voxel_grid(bcfg)._replace(origin=o)
                 (acc, accev), _ = jax.lax.scan(
-                    one, (init_g, jnp.zeros_like(init_g.miss)), (bscans, bmasks, begos))
-                tot = (jnp.sum(acc.hit) + jnp.sum(acc.mom) + jnp.sum(accev)
+                    one, (init_g, jnp.zeros_like(init_g.miss_pk)), (bscans, bmasks, begos))
+                tot = (jnp.sum(acc.hit_pk) + jnp.sum(acc.mom) + jnp.sum(accev)
                        ).astype(jnp.float32)
                 return (dummy + 0.0 * tot,), tot
 

@@ -90,8 +90,11 @@ def test_checkpoint_roundtrip(small_cfg, tmp_path):
     import jax.numpy as jnp
 
     world = empty_world_state(small_cfg)
+    from gvom_tpu.ops.grid import pack_yz
+
     world = world._replace(
-        grid=world.grid._replace(hit=world.grid.hit.at[1, 2, 3].set(7)), valid=jnp.asarray(True)
+        grid=world.grid._replace(hit_pk=pack_yz(world.grid.hit.at[1, 2, 3].set(7))),
+        valid=jnp.asarray(True),
     )
     p = save_world(str(tmp_path / "world"), world, small_cfg)
     w2 = load_world(p)
@@ -276,9 +279,14 @@ def test_checkpoint_legacy_orbax_layout(small_cfg, tmp_path):
     from gvom_tpu.types import empty_world_state
 
     world = empty_world_state(small_cfg)
-    grid = world.grid._replace(hit=world.grid.hit.at[4, 5, 6].set(3))
+    from gvom_tpu.ops.grid import pack_yz
+
+    grid = world.grid._replace(hit_pk=pack_yz(world.grid.hit.at[4, 5, 6].set(3)))
     legacy_ev = jnp.zeros(small_cfg.grid_shape, jnp.int32).at[1, 1, 1].set(9)
-    legacy = dict(grid._asdict())
+    # pre-move checkpoints stored the LOGICAL [X, Y, Z] channel arrays with
+    # evidence inside the grid dict
+    legacy = {"hit": grid.hit, "miss": grid.miss, "min_height": grid.min_height,
+              "mom": grid.mom, "origin": grid.origin}
     legacy["evidence"] = legacy_ev               # pre-move layout
     path = str(tmp_path / "legacy_ckpt")
     ckptr = ocp.StandardCheckpointer()

@@ -253,6 +253,10 @@ def test_slab_ops_match_full_grid(tiny_cfg):
         gridops.window_to_torus(s1, origin),
         gridops.window_to_torus(s2, origin),
     )
+    # r5: stored moments are occupancy-pre-masked at ingest; the slab path
+    # applies the same mask, so mask the full-grid reference identically
+    mom_full = jnp.where(
+        moments.packed_voxel_mask(bins.hit > 0, cfg.z_size)[:, None], mom_full, 0.0)
     assert int(np.asarray(passes).sum()) > 0
 
     Ys = cfg.xy_size // 4

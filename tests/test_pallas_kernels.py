@@ -245,6 +245,11 @@ def test_xbox_epilogue_matches_xla_translate():
     out = jnp.asarray(out)
     mom_p, hit_p, minh_p = pallas_kernels._xbox_epilogue(out, rx, Z, X, interpret=True)
     mom_x, rM = pallas_kernels._xbox_translate_packed(out, rx, Z, X)
+    # r5: the epilogue occupancy-pre-masks the moments in-kernel; apply the
+    # identical mask to the XLA translate reference
+    hit_ref = rM[..., Z: 2 * Z].astype(jnp.int32)
+    hm_ = hit_ref > 0
+    mom_x = jnp.where(jnp.concatenate([hm_, hm_], axis=-1)[:, None], mom_x, 0.0)
     hit_x = rM[..., Z: 2 * Z].astype(jnp.int32)
     minh_x = jnp.where(hit_x > 0, rM[..., :Z], 1.0)
     np.testing.assert_array_equal(np.asarray(mom_p), np.asarray(mom_x))

@@ -206,8 +206,14 @@ def test_encoding_partition(prop_cfg):
 
 
 def test_moments_additive(prop_cfg):
-    """Raw-moment formulation is additive: moments(A ∪ B) == moments(A) +
-    moments(B) voxelwise (what makes fusion a plain add / psum, SURVEY §7)."""
+    """Raw-moment additivity, r5 form. The UNDERLYING neighborhood sums are
+    additive — moments(A ∪ B) == moments(A) + moments(B) voxelwise — which is
+    what makes fusion a plain add / psum (SURVEY §7); verified at the ops
+    level (box_aggregate_moments). The STORED pipeline form is additionally
+    occupancy-masked at ingest (reference combine_metrics only ever reads
+    metrics where the source voxel is occupied, gvom.py:198-266), so the
+    stored arrays agree with the summed halves exactly where both halves are
+    occupied, and hit counts stay additive everywhere."""
     cfg = prop_cfg
     terrain = synthetic.composite_terrain()
     ego = np.array([0.3, -0.2, 1.5])
@@ -225,16 +231,29 @@ def test_moments_additive(prop_cfg):
 
     g_all, g_a, g_b = ingest(pts), ingest(pts[:half]), ingest(pts[half:])
     # compare unpacked channels (the packed layout also has pad lanes)
-    from gvom_tpu.ops import moments
+    from gvom_tpu.ops import binning, moments
 
     def unpacked(g):
         n, s1, s2 = moments.unpack_moments(g.mom, cfg.z_size)
         return np.concatenate([np.asarray(n)[None], np.asarray(s1), np.asarray(s2)])
 
+    both = (np.asarray(g_a.hit) > 0) & (np.asarray(g_b.hit) > 0)
     np.testing.assert_allclose(
-        unpacked(g_a) + unpacked(g_b), unpacked(g_all), rtol=0, atol=1e-4)
+        (unpacked(g_a) + unpacked(g_b))[:, both], unpacked(g_all)[:, both],
+        rtol=0, atol=1e-4)
     np.testing.assert_array_equal(
         np.asarray(g_a.hit) + np.asarray(g_b.hit), np.asarray(g_all.hit))
+
+    # ops-level raw sums (pre-mask) are additive EVERYWHERE
+    def raw(points):
+        pad, mask = synthetic.pad_scan(points, cfg.max_points)
+        p, keep = binning.prepare_points(cfg, jnp.asarray(pad), jnp.asarray(mask), e)
+        bins = binning.bin_points(cfg, p, keep, origin)
+        n, s1, s2 = moments.box_aggregate_moments(cfg, bins)
+        return np.concatenate([np.asarray(n)[None], np.asarray(s1), np.asarray(s2)])
+
+    np.testing.assert_allclose(raw(pts[:half]) + raw(pts[half:]), raw(pts),
+                               rtol=0, atol=1e-4)
 
 
 def test_nonfinite_points_are_dropped(small_cfg):

@@ -48,6 +48,11 @@ def rand_channels(rng, density=0.35):
     Vp = packed_lanes(Z)
     mom = np.zeros((X, 5, Y, Vp), np.float32)
     mom[..., : 2 * Z] = rng.normal(0, 1, (X, 5, Y, 2 * Z)).astype(np.float32)
+    # r5 state invariant: stored moments are occupancy-masked at ingest
+    # (zero wherever hit == 0) — the combine's slot mom merges rely on it
+    occm = (hit > 0).transpose(0, 1, 2)  # [X, Y, Z]
+    lane_mask = np.concatenate([occm, occm], axis=-1)[:, None]      # [X,1,Y,2Z]
+    mom[..., : 2 * Z] *= lane_mask
     return hit, miss, minh, mom
 
 
@@ -71,12 +76,12 @@ def build_state(seed):
 def to_buffer(cfg, origins, slot_valid, slots, last):
     Vp = packed_lanes(Z)
     z3 = np.zeros((X, Y, Z))
-    grids = VoxelGrid(
-        hit=jnp.asarray(np.stack([s[0] for s in slots] + [z3.astype(np.int32)])),
-        miss=jnp.asarray(np.stack([s[1] for s in slots] + [z3.astype(np.int32)])),
-        min_height=jnp.asarray(np.stack([s[2] for s in slots] + [np.ones((X, Y, Z), np.float32)])),
-        mom=jnp.asarray(np.stack([s[3] for s in slots] + [np.zeros((X, 5, Y, Vp), np.float32)])),
-        origin=jnp.asarray(np.stack(origins + [np.zeros(3)]).astype(np.int32)),
+    grids = VoxelGrid.from_logical(
+        hit=np.stack([s[0] for s in slots] + [z3.astype(np.int32)]),
+        miss=np.stack([s[1] for s in slots] + [z3.astype(np.int32)]),
+        min_height=np.stack([s[2] for s in slots] + [np.ones((X, Y, Z), np.float32)]),
+        mom=np.stack([s[3] for s in slots] + [np.zeros((X, 5, Y, Vp), np.float32)]),
+        origin=np.stack(origins + [np.zeros(3)]).astype(np.int32),
     )
     return BufferState(
         grids=grids,
@@ -148,14 +153,13 @@ def test_combine_latching_vs_brute(seed):
     cfg = make_cfg()
     origins, slot_valid, slots, old_origin, old, old_ev, old_valid, last = build_state(seed)
     buf = to_buffer(cfg, origins, slot_valid, slots, last)
-    world = WorldState(
-        grid=VoxelGrid(
-            hit=jnp.asarray(old[0]), miss=jnp.asarray(old[1]),
-            min_height=jnp.asarray(old[2]), mom=jnp.asarray(old[3]),
-            origin=jnp.asarray(old_origin.astype(np.int32)),
+    world = WorldState.from_logical(
+        grid=VoxelGrid.from_logical(
+            hit=old[0], miss=old[1], min_height=old[2], mom=old[3],
+            origin=old_origin.astype(np.int32),
         ),
-        evidence=jnp.asarray(old_ev),
-        valid=jnp.asarray(old_valid),
+        evidence=old_ev,
+        valid=old_valid,
     )
     ego = jnp.asarray(np.float32([0, 0, 0]))
     w, _, ok = jax.jit(lambda b, wd: pipeline.combine(cfg, b, wd, ego, impl="xla"))(
