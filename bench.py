@@ -72,6 +72,8 @@ def main():
     ap.add_argument("--points", type=int, default=131072, help="OS1-128 density")
     ap.add_argument("--cpu", action="store_true", help="run on CPU instead of TPU")
     ap.add_argument("--raycast", default="auto", choices=["auto", "matmul", "xla"])
+    ap.add_argument("--combine-impl", default="auto", choices=["auto", "xla", "fused"],
+                    help="combine mode: which combine implementation to time")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -273,7 +275,7 @@ def _run_combine(args, cfg, scans, masks, egos, n_distinct):
         buf, world = carry
         # perturb the world's hit counts by a data-dependent 0/1 so each
         # iteration's combine depends on the previous one (no CSE, no overlap)
-        world, products, _ = pipeline.combine(cfg, buf, world, ego)
+        world, products, _ = pipeline.combine(cfg, buf, world, ego, impl=args.combine_impl)
         probe = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in products)
         bump = (probe > -1.0).astype(jnp.int32)  # always 1, but data-dependent
         world = world._replace(grid=world.grid._replace(hit_pk=world.grid.hit_pk + bump))
@@ -305,6 +307,7 @@ def _run_combine(args, cfg, scans, masks, egos, n_distinct):
         "steps": args.steps,
         "best_s": round(best, 4),
         "per_combine_ms": round(best / args.steps * 1e3, 3),
+        "impl": args.combine_impl,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

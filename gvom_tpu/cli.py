@@ -173,6 +173,11 @@ def cmd_selftest(args):
                 gridops.window_to_torus(s1, origin),
                 gridops.window_to_torus(s2, origin),
             )
+            # r5: stored moments are occupancy-pre-masked at ingest — apply
+            # the identical mask to the XLA reference
+            mom_x = jnp.where(
+                moments.packed_voxel_mask(bins.hit > 0, cfg.z_size)[:, None],
+                mom_x, 0.0)
             return (
                 jnp.abs(ray_pl - ray_x).max(),
                 jnp.abs(hit_pl - bins.hit).max(),

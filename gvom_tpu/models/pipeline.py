@@ -179,6 +179,21 @@ def ingest_and_insert(
 # fusion + map products
 
 
+def _mom_axis_mask(cfg, target_origin, src_origin, valid):
+    """[X, 1, Y, Vp] alignment mask in mom orientation (pure iota factors).
+    Slot moms are occupancy-pre-masked at ingest, so this alignment factor
+    (∧ validity) is their complete merge mask."""
+    Z = cfg.z_size
+    ax = gridops._overlap_axis_masks(cfg, target_origin, src_origin)
+    pad = moments.packed_lanes(Z) - 2 * Z
+    myz = ax[1][:, None] & ax[2][None, :]
+    parts = [myz, myz]
+    if pad:
+        parts.append(jnp.zeros(myz.shape[:-1] + (pad,), bool))
+    m = ax[0][:, None, None] & jnp.concatenate(parts, axis=-1)[None] & valid
+    return m[:, None]
+
+
 def combine(
     cfg: GvomConfig,
     buf: BufferState,
@@ -192,17 +207,24 @@ def combine(
     veto semantics follow gvom.py:198-266 & 941-997. Returns
     (new world, products, combine_ok).
 
-    impl: "fused" takes the Pallas mega-combine (one HBM pass for phase A +
-    phase B + the column products — pallas_kernels.fused_combine,
-    bitwise-identical); "xla" forces this module's reference-shaped
-    multi-fusion path. "auto" is currently "xla" everywhere: on v5e the
-    fused kernel measured 4.0 ms vs XLA's 3.3 (r4; the [Y, Z=64] channel
-    blocks run at half lane utilization in VMEM — see BENCHMARKS.md), so the
-    kernel stays opt-in until that layout cost is beaten."""
+    impl: "fused" takes the Pallas combine (one pass for phase A + phase B
+    scalar channels + the column products, with the mom merge as an XLA
+    speed-of-light fusion — pallas_kernels.fused_combine, bitwise-identical);
+    "xla" forces this module's reference-shaped multi-fusion path. "auto" is
+    "fused" on TPU since r5 (measured 3.35 ms vs XLA's 3.69 on v5e at the
+    reference config once the lane-dense layout landed — BENCHMARKS.md r5)
+    and "xla" elsewhere."""
     ego = ego_position.astype(jnp.float32)
     origin = buf.grids.origin[buf.last_slot]
     any_valid = jnp.any(buf.slot_valid)
 
+    if impl == "auto":
+        try:
+            from gvom_tpu.ops import pallas_kernels
+        except ImportError:
+            pallas_kernels = None
+        if pallas_kernels is not None and pallas_kernels.use_fast_path():
+            impl = "fused"
     if impl == "fused":
         # explicit request: let ImportError propagate if pallas is absent
         return _combine_fused(cfg, buf, world, ego, origin, any_valid)
@@ -265,15 +287,7 @@ def combine(
         return h, ms, mh, mo
 
     def mom_axis_mask(src_origin, valid):
-        # [X, 1, Y, Vp] alignment mask in mom orientation (pure iota factors)
-        ax = gridops._overlap_axis_masks(cfg, origin, src_origin)
-        pad = moments.packed_lanes(Z) - 2 * Z
-        myz = ax[1][:, None] & ax[2][None, :]
-        parts = [myz, myz]
-        if pad:
-            parts.append(jnp.zeros(myz.shape[:-1] + (pad,), bool))
-        m = ax[0][:, None, None] & jnp.concatenate(parts, axis=-1)[None] & valid
-        return m[:, None]
+        return _mom_axis_mask(cfg, origin, src_origin, valid)
 
     acc = (hit, miss, min_height, mom)
     for i, (g, am) in enumerate(slots):
@@ -328,16 +342,38 @@ def combine(
 
 
 def _combine_fused(cfg, buf, world, ego, origin, any_valid, interpret=False):
-    """Mega-combine path: one Pallas pass for phases A/B + column products;
-    only the tiny [X,X] stencil ops (slope/rough/guess/negative) stay XLA."""
+    """Mega-combine path: one Pallas pass for phases A/B (scalar channels) +
+    column products; the mom merge runs as an XLA masked-add fusion (it is
+    HBM-bound and XLA already runs it at speed of light — carrying mom
+    through the kernel measured ~1.5 ms slower, see the kernel docstring),
+    and the tiny [X,X] stencil ops (slope/rough/guess/negative) stay XLA."""
     from gvom_tpu.ops import pallas_kernels
 
-    grid, evidence, hm_t, ihm_t, pnum, pden, bok = pallas_kernels.fused_combine(
-        cfg, buf, world, ego, origin, interpret=interpret
-    )
+    hit, miss, minh, evidence, hm_t, ihm_t, pnum, pden, bok = (
+        pallas_kernels.fused_combine(cfg, buf, world, ego, origin, interpret=interpret))
+
+    # ---- mom merge (XLA): identical addend structure to combine()'s
+    # merge_data — slot masks are pure alignment (moms pre-masked at
+    # ingest), the old world's mask adds the occ2 factor (hit > 0 ⇔ occ2:
+    # phase B writes a positive hit at every occupied cell) ----
+    X, Y, Z = cfg.grid_shape
+    mom = jnp.zeros((X, moments.N_SLOTS, Y, moments.packed_lanes(Z)), jnp.float32)
+    for i in range(cfg.buffer_size):
+        g = _tree_slice(buf.grids, i)
+        mom = mom + jnp.where(
+            _mom_axis_mask(cfg, origin, g.origin, buf.slot_valid[i]), g.mom, 0.0)
+    occ2 = jnp.where(any_valid, hit > 0,
+                     jnp.zeros_like(hit, dtype=bool))  # pre-latch occupancy
+    occ2_mom = moments.packed_voxel_mask(gridops.unpack_yz(occ2), cfg.z_size)
+    old_mask = _mom_axis_mask(cfg, origin, world.grid.origin, world.valid) & occ2_mom[:, None]
+    mom = mom + jnp.where(old_mask, world.grid.mom, 0.0)
+    mom = jnp.where(any_valid, mom, world.grid.mom)
+
     origin_out = jnp.where(any_valid, origin, world.grid.origin)
+    grid = VoxelGrid(hit_pk=hit, miss_pk=miss, minh_pk=minh, mom=mom,
+                     origin=origin_out)
     new_world = WorldState(
-        grid=grid._replace(origin=origin_out),
+        grid=grid,
         evidence_pk=evidence,
         valid=world.valid | any_valid,
     )

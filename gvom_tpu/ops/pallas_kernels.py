@@ -1402,8 +1402,6 @@ def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
 
     R = Y // 2                         # packed y rows (y-paired channel storage)
     L = 2 * Z                          # packed lanes: [z of even y | z of odd y]
-    Vp = packed_lanes(Z)
-    pad = Vp - 2 * Z
     UH = -1000.0                       # types.UNKNOWN_HEIGHT (import cycle)
     zres = float(cfg.z_resolution)
     xyres = float(cfg.xy_resolution)
@@ -1419,9 +1417,9 @@ def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
     g2l = float(cfg.ground_to_lidar_height)
 
     def kernel(org_ref, iscal_ref, ego_ref,
-               bhit_ref, bmiss_ref, bminh_ref, bmom_ref,
-               ohit_ref, omiss_ref, ominh_ref, omom_ref, oev_ref,
-               hit_o, miss_o, minh_o, mom_o, ev_o,
+               bhit_ref, bmiss_ref, bminh_ref,
+               ohit_ref, omiss_ref, ominh_ref, oev_ref,
+               hit_o, miss_o, minh_o, ev_o,
                hm_o, ihm_o, pnum_o, pden_o, bok_o):
         """org_ref (SMEM): [B+2, 3] i32 — slot origins, old origin, target.
         iscal_ref (SMEM): [B+2] i32 — slot_valid ×B, old_valid, any_valid.
@@ -1432,7 +1430,15 @@ def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
         kernel's VPU work and VMEM footprint match its logical size (the r4
         form ran at half lane utilization and lost to XLA on padding alone).
         Per-column (2D) outputs are written column-planar [W, R, 2] (lane 0 =
-        even y, lane 1 = odd y); the caller reshapes to [X, Y] in XLA."""
+        even y, lane 1 = odd y); the caller reshapes to [X, Y] in XLA.
+
+        The mom channel is NOT merged here (r5 split): XLA's masked-add mom
+        fusion already runs at HBM speed of light (~1.4 ms traced), while
+        carrying mom through this kernel dragged the whole pass to ~4 ms
+        (mom is 13 of 21.5 MB per instance, plus a per-slice occ2 relayout
+        in the mom orientation). The caller merges mom in XLA from this
+        kernel's hit output (hit > 0 ⇔ occ2 exactly — phase B writes a
+        positive hit at every occupied cell)."""
         xb = pl.program_id(0)
         ot0, ot1, ot2 = org_ref[B + 1, 0], org_ref[B + 1, 1], org_ref[B + 1, 2]
         anyv = iscal_ref[B + 1] > 0
@@ -1449,36 +1455,17 @@ def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
             d = o_t - o_s
             return (rel_t >= -jnp.minimum(d, 0)) & (rel_t < size - jnp.maximum(d, 0))
 
-        def mom_mask(m):
-            # packed phase mask [R, L] → mom-orientation lane mask [Y, Vp]
-            # (mom rows are logical y; lanes are two z channel-halves + pad).
-            # Mosaic-supported interleave: lane concats + a (R, 2, Vp) →
-            # (Y, Vp) reshape (minor dim unchanged). Needed ONCE per w (the
-            # occ2 factor of the old-world mom mask); slot mom masks are pure
-            # iota axis masks since ingest pre-masks moms by occupancy.
-            mi = m.astype(jnp.int32)
-            lo, hi = mi[:, :Z], mi[:, Z:]
-            partsl = [lo, lo]
-            partsh = [hi, hi]
-            if pad:
-                zpadv = jnp.zeros((R, pad), jnp.int32)
-                partsl.append(zpadv)
-                partsh.append(zpadv)
-            even = jnp.concatenate(partsl, axis=1)
-            odd = jnp.concatenate(partsh, axis=1)
-            return jnp.stack([even, odd], axis=1).reshape(Y, Vp) > 0
-
-        # mom-orientation iota coordinates (rows = logical y, lanes = two z
-        # channel halves + padding lanes, which never match)
-        ym_io = jax.lax.broadcasted_iota(jnp.int32, (Y, Vp), 0)
-        lm_io = jax.lax.broadcasted_iota(jnp.int32, (Y, Vp), 1)
-        zm_io = jnp.where(lm_io < 2 * Z, lm_io % Z, jnp.int32(1 << 14))
 
         def halves_cat(lo1, hi1, w_lanes):
             # [R,1] per-half column values → [R, 2·w_lanes] broadcast form
             a = jnp.broadcast_to(lo1, (R, w_lanes))
             b = jnp.broadcast_to(hi1, (R, w_lanes))
             return jnp.concatenate([a, b], axis=1)
+
+        # w-invariant per-slot mask factors, hoisted out of the slice loop
+        # (they depend only on origins). Only the scalar x factor is per-w.
+        yz_pk = [axis_ok(ypk, ot1, org_ref[s, 1], X)
+                 & axis_ok(zpk, ot2, org_ref[s, 2], Z) for s in range(B + 1)]
 
         for w in range(W):
             xg = xb * W + w
@@ -1488,9 +1475,7 @@ def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
             smask = []
             for s in range(B):
                 okx = axis_ok(xg, ot0, org_ref[s, 0], X) & (iscal_ref[s] > 0)
-                oky = axis_ok(ypk, ot1, org_ref[s, 1], X)
-                okz = axis_ok(zpk, ot2, org_ref[s, 2], Z)
-                am = (oky & okz) & okx
+                am = yz_pk[s] & okx
                 h = bhit_ref[s, w]
                 s_occ = (h > 0) & am
                 s_ev = jnp.where(am & ~s_occ, bmiss_ref[s, w], 0)
@@ -1498,9 +1483,7 @@ def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
                 occ = occ | s_occ
                 smask.append(s_occ)
             okx = axis_ok(xg, ot0, org_ref[B, 0], X) & (iscal_ref[B] > 0)
-            oky = axis_ok(ypk, ot1, org_ref[B, 1], X)
-            okz = axis_ok(zpk, ot2, org_ref[B, 2], Z)
-            oam = (oky & okz) & okx
+            oam = yz_pk[B] & okx
             old_h = ohit_ref[w]
             old_occ = (old_h > 0) & oam
             revive = old_occ & ~occ & (ev <= decay)     # staleness veto (gvom.py:992)
@@ -1522,24 +1505,6 @@ def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
             hit = hit + jnp.where(mold, old_h, 0)
             miss = miss + jnp.where(mold, omiss_ref[w], 0)
             mh = jnp.where(mold, jnp.minimum(mh, ominh_ref[w]), mh)
-
-            # slot moms are occupancy-pre-masked at ingest → their merge
-            # masks are pure axis-alignment iota tests (no interleave)
-            pks = []
-            for s in range(B):
-                okxs = axis_ok(xg, ot0, org_ref[s, 0], X) & (iscal_ref[s] > 0)
-                pks.append(axis_ok(ym_io, ot1, org_ref[s, 1], X)
-                           & axis_ok(zm_io, ot2, org_ref[s, 2], Z) & okxs)
-            okxo = axis_ok(xg, ot0, org_ref[B, 0], X) & (iscal_ref[B] > 0)
-            pko = (axis_ok(ym_io, ot1, org_ref[B, 1], X)
-                   & axis_ok(zm_io, ot2, org_ref[B, 2], Z) & okxo
-                   & mom_mask(occ2))
-            for c in range(5):
-                acc = jnp.zeros((Y, Vp), jnp.float32)
-                for s in range(B):
-                    acc = acc + jnp.where(pks[s], bmom_ref[s, w, c], 0.0)
-                acc = acc + jnp.where(pko, omom_ref[w, c], 0.0)
-                mom_o[w, c] = jnp.where(anyv, acc, omom_ref[w, c])
 
             # ---- world outputs (any_valid latch = pipeline._tree_where) ----
             hit_o[w] = jnp.where(anyv, hit, ohit_ref[w])
@@ -1608,17 +1573,17 @@ def _combine_kernel_factory(cfg: GvomConfig, B: int, W: int):
 
 def fused_combine(cfg: GvomConfig, buf, world, ego_position, origin,
                   interpret: bool = False):
-    """One-HBM-pass combine. Returns (VoxelGrid, evidence_pk, hm_t, ihm_t,
-    pnum_t, pden_t, bok_t) — packed grid channels with the any_valid latch
-    already applied, 2D maps in torus layout. Bitwise-identical to the XLA
-    combine's phase A/B and to maps2d's column products."""
-    from gvom_tpu.ops.moments import packed_lanes
-    from gvom_tpu.types import VoxelGrid
+    """One-HBM-pass combine of the SCALAR channels + 2D column products.
+    Returns (hit_pk, miss_pk, minh_pk, evidence_pk, hm_t, ihm_t, pnum_t,
+    pden_t, bok_t) — packed channels with the any_valid latch already
+    applied, 2D maps in torus layout. Bitwise-identical to the XLA combine's
+    phase A/B and to maps2d's column products.
 
+    The mom channel is merged by the caller in XLA (pipeline._combine_fused)
+    from hit_pk > 0 (≡ occ2) — see the kernel docstring for why."""
+    B = cfg.buffer_size
     X, Y, Z = cfg.grid_shape
     R, L = Y // 2, 2 * Z
-    Vp = packed_lanes(Z)
-    B = cfg.buffer_size
     W = _CMB_XB
     while X % W:
         W //= 2
@@ -1637,9 +1602,7 @@ def fused_combine(cfg: GvomConfig, buf, world, ego_position, origin,
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     slot3 = pl.BlockSpec((B, W, R, L), lambda xb: (0, xb, 0, 0), memory_space=pltpu.VMEM)
-    slotm = pl.BlockSpec((B, W, 5, Y, Vp), lambda xb: (0, xb, 0, 0, 0), memory_space=pltpu.VMEM)
     old3 = pl.BlockSpec((W, R, L), lambda xb: (xb, 0, 0), memory_space=pltpu.VMEM)
-    oldm = pl.BlockSpec((W, 5, Y, Vp), lambda xb: (xb, 0, 0, 0), memory_space=pltpu.VMEM)
     # 2D outputs are column-planar [X, R, 2] (lane 0/1 = even/odd y);
     # reshaped to the torus [X, Y] maps in XLA below (contiguous)
     out2d = pl.BlockSpec((W, R, 2), lambda xb: (xb, 0, 0), memory_space=pltpu.VMEM)
@@ -1648,14 +1611,13 @@ def fused_combine(cfg: GvomConfig, buf, world, ego_position, origin,
         _combine_kernel_factory(cfg, B, W),
         grid=(n_inst,),
         in_specs=[smem, smem, smem,
-                  slot3, slot3, slot3, slotm,
-                  old3, old3, old3, oldm, old3],
-        out_specs=(old3, old3, old3, oldm, old3, out2d, out2d, out2d, out2d, out2d),
+                  slot3, slot3, slot3,
+                  old3, old3, old3, old3],
+        out_specs=(old3, old3, old3, old3, out2d, out2d, out2d, out2d, out2d),
         out_shape=(
             jax.ShapeDtypeStruct((X, R, L), jnp.int32),
             jax.ShapeDtypeStruct((X, R, L), jnp.int32),
             jax.ShapeDtypeStruct((X, R, L), jnp.float32),
-            jax.ShapeDtypeStruct((X, 5, Y, Vp), jnp.float32),
             jax.ShapeDtypeStruct((X, R, L), jnp.int32),
             jax.ShapeDtypeStruct((X, R, 2), jnp.float32),
             jax.ShapeDtypeStruct((X, R, 2), jnp.float32),
@@ -1666,10 +1628,9 @@ def fused_combine(cfg: GvomConfig, buf, world, ego_position, origin,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(org, iscal, ego,
-      g.hit_pk, g.miss_pk, g.minh_pk, g.mom,
-      world.grid.hit_pk, world.grid.miss_pk, world.grid.minh_pk, world.grid.mom,
+      g.hit_pk, g.miss_pk, g.minh_pk,
+      world.grid.hit_pk, world.grid.miss_pk, world.grid.minh_pk,
       world.evidence_pk)
-    hit, miss, minh, mom, ev, hm_t, ihm_t, pnum, pden, bok = outs
+    hit, miss, minh, ev, hm_t, ihm_t, pnum, pden, bok = outs
     hm_t, ihm_t, pnum, pden, bok = (a.reshape(X, Y) for a in (hm_t, ihm_t, pnum, pden, bok))
-    grid = VoxelGrid(hit_pk=hit, miss_pk=miss, minh_pk=minh, mom=mom, origin=origin)
-    return grid, ev, hm_t, ihm_t, pnum, pden, bok
+    return hit, miss, minh, ev, hm_t, ihm_t, pnum, pden, bok
