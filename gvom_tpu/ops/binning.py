@@ -114,6 +114,7 @@ def slab_point_moments(
     origin: jnp.ndarray,
     ys0: jnp.ndarray,
     Ys: int,
+    occupancy_mask: bool = True,
 ):
     """Slab-restricted ingest accumulation for the spatially sharded step:
     (hit [X,Ys,Z] i32, min_height [X,Ys,Z] f32, mom [X,5,Ys,Vp] f32) for the
@@ -206,7 +207,10 @@ def slab_point_moments(
     s1 = jnp.roll(jnp.roll(s1, rollx, axis=1), rollz, axis=3)
     s2 = jnp.roll(jnp.roll(s2, rollx, axis=1), rollz, axis=3)
     mom = moments_mod.pack_moments(n0, s1, s2)
-    # occupancy pre-mask (r5) — see pipeline.ingest_scan / the Pallas
-    # epilogue note: consumers read moments only under hit > 0
-    mom = jnp.where(moments_mod.packed_voxel_mask(hit > 0, Z)[:, None], mom, 0.0)
+    if occupancy_mask:
+        # occupancy pre-mask (r5) — see pipeline.ingest_scan / the Pallas
+        # epilogue note: consumers read moments only under hit > 0. The
+        # batched merged-points path passes False and applies the GLOBAL
+        # batch occupancy after the data psum (mesh-shape invariant).
+        mom = jnp.where(moments_mod.packed_voxel_mask(hit > 0, Z)[:, None], mom, 0.0)
     return hit, mh, mom

@@ -1102,7 +1102,8 @@ def _xbox_translate_packed(out: jnp.ndarray, rx: int, Z: int, X: int):
     return jnp.stack(acc, axis=1), sl(5, 0)
 
 
-def _xbox_epilogue_factory(rx: int, Z: int, W: int, U: int, V: int):
+def _xbox_epilogue_factory(rx: int, Z: int, W: int, U: int, V: int,
+                           occupancy_mask: bool = True):
     """Pallas epilogue: one HBM read of the moments kernel's padded per-slice
     output → (mom, hit, minh), with the ±rx x-box translate computed in VMEM.
 
@@ -1177,20 +1178,25 @@ def _xbox_epilogue_factory(rx: int, Z: int, W: int, U: int, V: int):
             # HERE (a lane concat of the hit mask the kernel already has)
             # lets the combine's slot mom merges use pure axis-alignment
             # masks instead of data-dependent interleaved masks.
-            om = (hitf > 0.0).astype(jnp.float32)
-            parts = [om, om]
-            if pad:
-                parts.append(jnp.zeros((U, pad), jnp.float32))
-            omm = jnp.concatenate(parts, axis=1)
-            for i in range(5):
-                mom_ref[w, i] = acc[i] * omm
+            if occupancy_mask:
+                om = (hitf > 0.0).astype(jnp.float32)
+                parts = [om, om]
+                if pad:
+                    parts.append(jnp.zeros((U, pad), jnp.float32))
+                omm = jnp.concatenate(parts, axis=1)
+                for i in range(5):
+                    mom_ref[w, i] = acc[i] * omm
+            else:
+                for i in range(5):
+                    mom_ref[w, i] = acc[i]
             hit_ref[w] = hitf.astype(jnp.int32)
             minh_ref[w] = jnp.where(hitf > 0.0, rM[:, :Z], 1.0)
 
     return kernel
 
 
-def _xbox_epilogue(out: jnp.ndarray, rx: int, Z: int, X: int, interpret: bool = False):
+def _xbox_epilogue(out: jnp.ndarray, rx: int, Z: int, X: int, interpret: bool = False,
+                   occupancy_mask: bool = True):
     """(mom [X,5,U,V], hit [X,U,Z] i32, minh [X,U,Z]) — window layout."""
     U, V = out.shape[2], out.shape[3]
     W = 16
@@ -1201,10 +1207,14 @@ def _xbox_epilogue(out: jnp.ndarray, rx: int, Z: int, X: int, interpret: bool = 
         # to the (slower, exact) XLA translate
         mom, rM = _xbox_translate_packed(out, rx, Z, X)
         hit = rM[..., Z: 2 * Z].astype(jnp.int32)
+        if occupancy_mask:
+            from gvom_tpu.ops.moments import packed_voxel_mask
+
+            mom = jnp.where(packed_voxel_mask(hit > 0, Z)[:, None], mom, 0.0)
         return mom, hit, jnp.where(hit > 0, rM[..., :Z], 1.0)
     n_inst = X // W
     return pl.pallas_call(
-        _xbox_epilogue_factory(rx, Z, W, U, V),
+        _xbox_epilogue_factory(rx, Z, W, U, V, occupancy_mask),
         grid=(n_inst,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
@@ -1233,6 +1243,7 @@ def fused_point_moments(
     origin: jnp.ndarray,
     interpret: bool = False,
     y_window=None,
+    occupancy_mask: bool = True,
 ):
     """Returns (hit [X,Y,Z] i32, min_height [X,Y,Z] f32, mom [X,5,Y,Vp] f32) —
     endpoint counts, per-voxel min sub-voxel z, and raw target-voxel-local
@@ -1360,14 +1371,15 @@ def fused_point_moments(
     # The translate runs as a second pallas kernel (one HBM pass); the XLA
     # form is kept as the interpret-mode fallback and its exactness oracle.
     if not interpret:
-        mom, hit, minh = _xbox_epilogue(out, rx, Z, X)
+        mom, hit, minh = _xbox_epilogue(out, rx, Z, X, occupancy_mask=occupancy_mask)
     else:
         mom, rM = _xbox_translate_packed(out, rx, Z, X)
         hit = rM[..., Z : 2 * Z].astype(jnp.int32)
         minh = jnp.where(hit > 0, rM[..., :Z], 1.0)  # empty: 1.0 (gvom.py:1014-1015)
-        from gvom_tpu.ops.moments import packed_voxel_mask
+        if occupancy_mask:
+            from gvom_tpu.ops.moments import packed_voxel_mask
 
-        mom = jnp.where(packed_voxel_mask(hit > 0, Z)[:, None], mom, 0.0)
+            mom = jnp.where(packed_voxel_mask(hit > 0, Z)[:, None], mom, 0.0)
     # raw sums need no normalization — move the x axis into torus layout
     # (leading-axis roll: contiguous) and return
     rollx = origin[0] % X

@@ -44,7 +44,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from gvom_tpu.config import GvomConfig
 from gvom_tpu.models import pipeline
 from gvom_tpu.ops import grid as gridops
-from gvom_tpu.ops import maps2d, moments
+from gvom_tpu.ops import maps2d, moments, raycast
 from gvom_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
 from gvom_tpu.types import MapProducts, VoxelGrid, WorldState
 
@@ -85,6 +85,36 @@ def _merge_scan_grids(acc, contrib):
         origin=a.origin,
     )
     return g, a_ev + b_ev
+
+
+def _point_moments(cfg, p, keep, origin, ywin, binning_impl):
+    """Endpoint metrics (hit, min_height, mom) for a flat point set — the
+    batched path's merged-points call. Moments are returned RAW (no
+    occupancy pre-mask); the caller masks by the batch's global occupancy
+    after its data psum. Mirrors pipeline.ingest_scan's implementation
+    dispatch."""
+    from gvom_tpu.ops import binning
+
+    if binning_impl != "xla":
+        try:
+            from gvom_tpu.ops import pallas_kernels
+        except ImportError:
+            pallas_kernels = None
+        if pallas_kernels is not None and (
+                binning_impl == "fused" or pallas_kernels.use_fast_path()):
+            return pallas_kernels.fused_point_moments(
+                cfg, p, keep, origin, y_window=ywin, occupancy_mask=False)
+    if ywin is not None:
+        return binning.slab_point_moments(cfg, p, keep, origin, ywin[0], ywin[1],
+                                          occupancy_mask=False)
+    bins = binning.bin_points(cfg, p, keep, origin)
+    n, s1, s2 = moments.box_aggregate_moments(cfg, bins)
+    mom = moments.pack_moments(
+        gridops.window_to_torus(n, origin),
+        gridops.window_to_torus(s1, origin),
+        gridops.window_to_torus(s2, origin),
+    )
+    return bins.hit, bins.min_height, mom
 
 
 def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
@@ -157,41 +187,48 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
         y_coords = ys0 + jnp.arange(Ys, dtype=jnp.int32)               # global torus y
         ywin = (ys0, Ys) if (slab and nsp > 1) else None
 
-        # ---- ingest this device's scan shard into the common frame ----
-        def ingest_one(carry, xs):
-            pts, vmask, ego = xs
-            g, ok = pipeline.ingest_scan(
-                cfg, pts, vmask, ego, None, raycast_impl, origin=origin,
-                binning_impl=binning_impl, y_window=ywin,
-            )
-            if slab and nsp > 1:
-                # scan_ok is global: a scan is dropped everywhere or nowhere
-                # (gvom.py:148-150) — this device's slab may be empty while
-                # another slab holds the scan's hits
-                ok = jax.lax.pmax(ok.astype(jnp.int32), SPACE_AXIS) > 0
-            dead = ~ok
-            # this scan's negative evidence: misses at its unoccupied voxels
-            ev = jnp.where(dead | (g.hit_pk > 0), 0, g.miss_pk)
-            g = jax.tree_util.tree_map(lambda l: jnp.where(dead, jnp.zeros_like(l), l), g)
-            g = g._replace(origin=origin, minh_pk=jnp.where(dead, jnp.ones_like(g.minh_pk), g.minh_pk))
-            return _merge_scan_grids(carry, (g, ev)), ok
+        # ---- per-scan preparation (elementwise, vmapped over the shard) ----
+        from gvom_tpu.ops import binning
 
-        from gvom_tpu.ops.moments import packed_lanes
-        from gvom_tpu.types import empty_voxel_grid
+        pw, keep = jax.vmap(
+            lambda pts, vmask, ego: binning.prepare_points(cfg, pts, vmask, ego, None)
+        )(scans, valid, egos)                                  # [S, N, 3], [S, N]
+        res = gridops.resolution_vector(cfg)
+        vox = jnp.floor(pw / res - origin.astype(jnp.float32)).astype(jnp.int32)
+        # scan_ok ≡ "scan binned at least one in-grid endpoint" — the same
+        # predicate as "produced ≥ 1 occupied voxel" (gvom.py:148-150), and
+        # global by construction (the test covers the FULL grid), so no
+        # space-axis collective is needed
+        oks = jnp.any(keep & gridops.in_bounds(cfg, vox), axis=1)
+        keep = keep & oks[:, None]            # dead scans contribute nothing
 
-        if ywin is None:
-            init_g = empty_voxel_grid(cfg)._replace(origin=origin)
-        else:
-            X, Z = cfg.xy_size, cfg.z_size
-            init_g = VoxelGrid(
-                hit_pk=jnp.zeros((X, Ys // 2, 2 * Z), jnp.int32),
-                miss_pk=jnp.zeros((X, Ys // 2, 2 * Z), jnp.int32),
-                minh_pk=jnp.ones((X, Ys // 2, 2 * Z), jnp.float32),
-                mom=jnp.zeros((X, 5, Ys, packed_lanes(Z)), jnp.float32),
-                origin=origin,
-            )
-        init = (init_g, jnp.zeros_like(init_g.miss_pk))
-        (local, local_ev), oks = jax.lax.scan(ingest_one, init, (scans, valid, egos))
+        # ---- per-scan raycast: each scan's rays share ITS ego (the one-hot
+        # histogram kernels exploit the scalar ray start), so the free-space
+        # pass stays a scan over the shard, accumulating only the miss
+        # channel ----
+        X, Z = cfg.xy_size, cfg.z_size
+        Ysl = Ys if (slab and nsp > 1) else cfg.xy_size
+
+        def ray_one(miss_acc, xs):
+            p1, k1, ego1 = xs
+            passes = raycast.ray_pass_counts(cfg, p1, k1, ego1, origin,
+                                             impl=raycast_impl, y_window=ywin)
+            return miss_acc + gridops.pack_yz(passes), None
+
+        miss0 = jnp.zeros((X, Ysl // 2, 2 * Z), jnp.int32)
+        local_miss, _ = jax.lax.scan(ray_one, miss0, (pw, keep, egos))
+
+        # ---- merged endpoint metrics: ONE kernel pass over the whole scan
+        # shard (voxelize/moments are ego-free and additive over points) —
+        # r5: replaces the per-scan metrics + mom-accumulate loop, removing
+        # the 0.76 ms/scan carry add and amortizing the x-box epilogue
+        # across the batch. Moments come back RAW (occupancy_mask=False);
+        # the GLOBAL batch occupancy mask is applied after the data psum so
+        # the result is mesh-shape invariant ----
+        hit, minh, mom = _point_moments(cfg, pw.reshape(-1, 3), keep.reshape(-1),
+                                        origin, ywin, binning_impl)
+        local = VoxelGrid(hit_pk=gridops.pack_yz(hit), miss_pk=local_miss,
+                          minh_pk=gridops.pack_yz(minh), mom=mom, origin=origin)
 
         # ---- reduce contributions into this device's y-slab ----
         if slab:
@@ -205,7 +242,6 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
                 mom=jax.lax.psum(local.mom, DATA_AXIS),
                 origin=origin,
             )
-            contrib_ev = jax.lax.psum(local_ev, DATA_AXIS)
         else:
             # sums: scatter-reduce over space (slab-distributes the y axis),
             # then psum slab-sized arrays over data. min: allreduce the single
@@ -224,7 +260,6 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
                 mom=rs(local.mom, yslab_mom),
                 origin=origin,
             )
-            contrib_ev = rs(local_ev, 1)
 
         # ---- merge with the world slab: shard-local, masks only ----
         coords = (
@@ -239,24 +274,32 @@ def make_batched_step(cfg: GvomConfig, mesh: Mesh, raycast_impl: str = "auto",
 
         occ = contrib.hit_pk > 0
         old_occ = (old.hit_pk > 0) & old_valid
-        revive = old_occ & ~occ & (contrib_ev <= cfg.decay_miss_limit)
+        # the batch's negative evidence at any cell the fused map leaves
+        # unoccupied is exactly its total miss count: per-scan occupancy
+        # masking is unobservable past occupied-wins (every consumer reads
+        # evidence only where ~occ2, and there hit_s == 0 for all s), so no
+        # separate evidence accumulator exists
+        revive = old_occ & ~occ & (contrib.miss_pk <= cfg.decay_miss_limit)
         occ2 = occ | revive
         evidence = jnp.where(
             ~old_occ & (old_ev > 0) & ~occ2 & old_valid,
-            contrib_ev + old_ev,
-            contrib_ev,
+            contrib.miss_pk + old_ev,
+            contrib.miss_pk,
         )
         evidence = jnp.where(occ2, 0, evidence)                # occupied-wins
         msel = old_occ & occ2
-        # old mom is occupancy-masked by induction (combine outputs and
-        # ingest contributions store zero at unoccupied voxels) and align_to
-        # already applied the alignment mask — occ2 is the only live factor
+        # mom masks: contrib carries RAW merged moments → mask by the batch
+        # occupancy (cells no scan occupied contribute nothing); old mom is
+        # occupancy-masked by induction and align_to applied alignment, so
+        # occ2 is its only live factor
+        mpk_c = moments.packed_voxel_mask(gridops.unpack_yz(occ), cfg.z_size)
         mpk = moments.packed_voxel_mask(gridops.unpack_yz(occ2), cfg.z_size)
         merged = VoxelGrid(
             hit_pk=contrib.hit_pk + jnp.where(msel, old.hit_pk, 0),
             miss_pk=contrib.miss_pk + jnp.where(msel, old.miss_pk, 0),
             minh_pk=jnp.where(msel, jnp.minimum(contrib.minh_pk, old.minh_pk), contrib.minh_pk),
-            mom=contrib.mom + jnp.where(mpk[:, None], old.mom, 0.0),
+            mom=jnp.where(mpk_c[:, None], contrib.mom, 0.0)
+                + jnp.where(mpk[:, None], old.mom, 0.0),
             origin=origin,
         )
 

@@ -80,6 +80,56 @@ def main():
     nd = scans.shape[0]
     K = 8
 
+    if args.stage == "batched":
+        # bench.py _run_batched's exact workload (B=32, rigid replay, one
+        # combine per step) under the profiler
+        import dataclasses
+
+        from gvom_tpu.parallel.mesh import make_mesh
+        from gvom_tpu.parallel.sharding import make_batched_step
+
+        B = 32
+        mesh = make_mesh(jax.devices()[:1])
+        import math
+        drift_vox = (B - 1) * 0.02 / min(cfg.xy_resolution, cfg.z_resolution)
+        bcfg = dataclasses.replace(cfg, ray_steps_override=min(
+            max(cfg.xy_size, cfg.z_size) // 2 + 6 + int(math.ceil(drift_vox)),
+            max(cfg.xy_size, cfg.z_size) + 4))   # = bench._batched_ray_budget
+        bstep = make_batched_step(bcfg, mesh)
+        reps = jnp.arange(B, dtype=jnp.int32) % nd
+        bscans, bmasks = scans[reps], masks[reps]
+        begos_base = egos[reps]
+
+        def bstep_scan(carry, i):
+            world, ego0 = carry
+            begos = ego0[None, :] + jnp.arange(B, dtype=jnp.float32)[:, None] * jnp.array(
+                [0.02, 0.01, 0.0], jnp.float32)
+            shift = (begos - begos_base).astype(jnp.float32)
+            world, products = bstep(world, bscans + shift[:, None, :], bmasks, begos)
+            probe = sum(jnp.sum(leaf).astype(jnp.float32) for leaf in products)
+            return (world, ego0 + jnp.array([0.3, 0.15, 0.0], jnp.float32)), probe
+
+        @jax.jit
+        def brun(a):
+            return jax.lax.scan(bstep_scan, a, jnp.arange(args.steps))
+
+        init = (empty_world_state(bcfg), egos[0])
+        out = brun(init)
+        jax.block_until_ready(out)
+        logdir = "/tmp/gvom_trace"
+        os.system(f"rm -rf {logdir}")
+        with jax.profiler.trace(logdir):
+            out = brun(init)
+            jax.block_until_ready(out)
+        per_op, total = parse_xplane(logdir, args.steps)
+        rows = sorted(per_op.items(), key=lambda kv: -kv[1])
+        print(json.dumps({"stage": "batched", "steps": args.steps, "batch": B,
+                          "device_total_ms_per_step": round(total / args.steps, 3),
+                          "device_total_ms_per_scan": round(total / args.steps / B, 4)}))
+        for name, ms in rows[: args.top]:
+            print(f"{ms / args.steps / B:8.4f} ms/scan  {name[:110]}")
+        return
+
     def step(carry, i):
         buf, world = carry
         j = i % nd
