@@ -20,6 +20,25 @@ The final placement of per-step histograms into the 3D grid is itself a
 one-hot matmul over the (tiny) step axis, using dominant-cell rows computed
 with exactly the same f32 expression as the XLA fallback — no scatter
 anywhere in the path.
+
+Env knob status (r5, after the lane-dense layout decision settled which
+paths survive — VERDICT r4 ask #7):
+
+  LOAD-BEARING (default path depends on them):
+    GVOM_RAY_CHUNK / GVOM_RAY_CHUNK_FAR — worklist chunk quanta (Mosaic's
+        1024 dynamic-slice alignment floor; see their comments)
+    GVOM_OH_IDX / GVOM_OH_VAL            — one-hot compare/operand dtypes
+        (int32 / bf16 defaults measured fastest on v5e)
+    GVOM_RAY_TIER64                      — mod-64 near tier, DEFAULT ON
+    GVOM_MOM_XB / GVOM_MOM_CHUNK         — moments kernel block/chunk
+    GVOM_MOM_PRECISION                   — f32 default (single-bf16-pass
+        dots; mom ≈ 4e-4 rel on-chip, debug-eigen consumers only)
+    GVOM_CMB_XB                          — fused-combine x-block (W=4
+        fastest measured; the combine is default-fused on TPU since r5)
+  ARCHIVAL (measured dead ends, kept off + exactness-pinned under the
+  `archival` pytest marker as the record of the measurement):
+    GVOM_RAY_STEPPAIR — r4 loss (narrow-M rate cancels the row halving)
+    GVOM_RAY_TIER32   — r4 no-gain (M=64 is the v5e packing floor)
 """
 
 from __future__ import annotations
@@ -124,6 +143,18 @@ def use_fast_path() -> bool:
         return False
 
 
+_SLAB_THRESH = (0, 16, 32, 64, 128) if os.environ.get(
+    "GVOM_SLAB_BUCKETS", "1") == "1" else (0,)
+                    # slab ingest: entry-step bucket thresholds for the
+                    # x-dominant pair (SURVEY §2.3 item 2) — bucket b holds
+                    # rays whose first-possible-slab-step is ≥ THRESH[b], and
+                    # the kernel streams bucket b only from that step on,
+                    # killing the pre-slab head of the r3/r4 slab constant.
+                    # EXPONENTIAL boundaries: each active (step, bucket) pair
+                    # pays the 1024-row chunk-alignment floor, so fewer,
+                    # wider buckets beat a linear grid (the late-entry rays
+                    # carry nearly all the recoverable waste).
+
 _SBLOCK_XY = 33  # steps per grid instance. TPU pays ~26µs fixed cost per grid
 _SBLOCK_Z = 22   # instance AND per separate step-body (measured on v5e), so
                  # each instance runs ONE flattened worklist loop over its
@@ -134,7 +165,7 @@ _SBLOCK_Z = 22   # instance AND per separate step-body (measured on v5e), so
 
 def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int, CHUNK: int,
                          RELABEL: bool = False, U_RAW: bool = False,
-                         V_GRID: int = None):
+                         V_GRID: int = None, BUCKETS: int = 1, THRESH=(0,)):
     def kernel(meta_ref, startuv_ref, utgt_ref, vtgt_ref, su_ref, sv_ref, out_ref, aj_ref, ac_ref):
         """One (group-pair, step-block) instance.
 
@@ -153,11 +184,16 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int, CHUNK: 
         active-step table built once per instance — per-iteration index math
         is O(1) scalar ops via an SMEM active-step table.
 
-        meta_ref (SMEM): [G, S+1, 6] int32 (abase, nchunks, first, count,
-        dom_ok, step). With RELABEL the row index is a LOCAL output row (the
-        sharded slab ingest's slab-local dominant row) and the absolute step
-        comes from column 5 per half; without it the row index IS the step
-        and column 5 is redundant.
+        meta_ref (SMEM): [G, (S+1)·BUCKETS, 6] int32 (abase, nchunks, first,
+        count, dom_ok, step), row = step·BUCKETS + bucket. With RELABEL the
+        row index is a LOCAL output row (the sharded slab ingest's
+        slab-local dominant row) and the absolute step comes from column 5
+        per half; without it the row index IS the step and column 5 is
+        redundant. BUCKETS > 1 (the slab ingest's entry-bucketed worklist,
+        SURVEY §2.3 item 2): rays are segmented by their quantized
+        slab-ENTRY step e//QSTEP, each (step, bucket ≤ s//QSTEP) iterates
+        that bucket's live-kmax prefix — rays whose slab entry is provably
+        after s are never streamed, killing the pre-slab head.
         utgt/vtgt (VMEM): [1, UO] / [1, n_sub·V] int32 one-hot column
         targets. Full-grid callers pass iotas (plain window coordinates);
         the slab caller passes the slab's torus→window column map, which
@@ -216,36 +252,45 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int, CHUNK: 
             # without RELABEL the table row IS the (1-based) step; with it,
             # rows are slab-local output rows and the step rides in meta[...,5]
             s = (j + 1) if RELABEL else (S_OFF + sb * SB + j + 1)
-            nch = jnp.maximum(meta_ref[g0, s, 1], meta_ref[g1, s, 1])
-            act0 = (meta_ref[g0, s, 3] > 0) & (meta_ref[g0, s, 4] > 0)
-            act1 = (meta_ref[g1, s, 3] > 0) & (meta_ref[g1, s, 4] > 0)
-            w = jnp.where(act0 | act1, nch, 0)   # dom-dead steps cost nothing
-            # branchless: inactive steps overwrite the CURRENT (unfilled)
-            # slot, which the next active step then writes correctly —
-            # t_cnt only advances on active steps
-            aj_ref[t_cnt] = j
-            ac_ref[t_cnt] = cum
-            t_cnt = t_cnt + (w > 0).astype(jnp.int32)
-            cum = cum + w
+            for b in range(BUCKETS):
+                row = s * BUCKETS + b
+                nch = jnp.maximum(meta_ref[g0, row, 1], meta_ref[g1, row, 1])
+                act0 = (meta_ref[g0, row, 3] > 0) & (meta_ref[g0, row, 4] > 0)
+                act1 = (meta_ref[g1, row, 3] > 0) & (meta_ref[g1, row, 4] > 0)
+                w = jnp.where(act0 | act1, nch, 0)   # dom-dead steps cost nothing
+                if BUCKETS > 1:
+                    # bucket b's rays enter the slab at step ≥ THRESH[b]:
+                    # they can contribute nothing before it (conservative)
+                    w = jnp.where(s >= THRESH[b], w, 0)
+                # branchless: inactive rows overwrite the CURRENT (unfilled)
+                # slot, which the next active row then writes correctly —
+                # t_cnt only advances on active rows
+                aj_ref[t_cnt] = j * BUCKETS + b
+                ac_ref[t_cnt] = cum
+                t_cnt = t_cnt + (w > 0).astype(jnp.int32)
+                cum = cum + w
         ac_ref[t_cnt] = cum                  # sentinel: never advance past end
 
         def body(i, t):
             t = t + (i >= ac_ref[t + 1]).astype(jnp.int32)
-            j = aj_ref[t]
+            jb = aj_ref[t]
+            j = jb // BUCKETS
             c = i - ac_ref[t]
             if RELABEL:
                 s = j + 1
+                row = s * BUCKETS + jb % BUCKETS
                 # absolute step per HALF (the two groups hit a slab row at
                 # different steps); exact integers, so the f32 cast is exact
-                sf = sel(meta_ref[g0, s, 5], meta_ref[g1, s, 5]).astype(jnp.float32)
+                sf = sel(meta_ref[g0, row, 5], meta_ref[g1, row, 5]).astype(jnp.float32)
             else:
                 s = S_OFF + sb * SB + j + 1
+                row = s * BUCKETS + jb % BUCKETS
                 sf = s.astype(jnp.float32)
-            ab0, ab1 = meta_ref[g0, s, 0], meta_ref[g1, s, 0]
-            nc = sel(meta_ref[g0, s, 1], meta_ref[g1, s, 1])
-            first = sel(meta_ref[g0, s, 2], meta_ref[g1, s, 2])
-            count = sel(meta_ref[g0, s, 3], meta_ref[g1, s, 3])
-            dom_ok = sel(meta_ref[g0, s, 4], meta_ref[g1, s, 4])
+            ab0, ab1 = meta_ref[g0, row, 0], meta_ref[g1, row, 0]
+            nc = sel(meta_ref[g0, row, 1], meta_ref[g1, row, 1])
+            first = sel(meta_ref[g0, row, 2], meta_ref[g1, row, 2])
+            count = sel(meta_ref[g0, row, 3], meta_ref[g1, row, 3])
+            dom_ok = sel(meta_ref[g0, row, 4], meta_ref[g1, row, 4])
             start_u = sel(startuv_ref[g0, 0], startuv_ref[g1, 0])
             start_v = sel(startuv_ref[g0, 1], startuv_ref[g1, 1])
             voff = sel(jnp.int32(0), jnp.int32(V))
@@ -289,7 +334,8 @@ def _hist_kernel_factory(SB: int, PAIRED: bool, U_GRID: int, S_OFF: int, CHUNK: 
 
 def _run_hist(meta, startuv, su, sv, G, S, U, V, interpret=False, paired=True,
               SB=_SBLOCK_XY, u_mod=None, s_off=0, chunk=_CHUNK,
-              utgt=None, vtgt=None, relabel=False, v_out=None, v_grid=None):
+              utgt=None, vtgt=None, relabel=False, v_out=None, v_grid=None,
+              buckets=1, thresh=(0,)):
     """Histograms for steps s_off+1 .. s_off+S (meta is indexed by absolute
     step — or, with relabel, by slab-local output row, carrying the absolute
     step in its 6th column). u_mod, when set, is the mod-UO windowed column
@@ -299,7 +345,13 @@ def _run_hist(meta, startuv, su, sv, G, S, U, V, interpret=False, paired=True,
     UO = u_mod or U
     VO = v_out or V
     S_pad = ((S + SB - 1) // SB) * SB
-    if meta.shape[1] < s_off + S_pad + 1:
+    if meta.ndim == 4:
+        # meta arrives [G, S+1, buckets, 6]; rows flatten to step·B + bucket
+        if meta.shape[1] < s_off + S_pad + 1:
+            meta = jnp.pad(
+                meta, ((0, 0), (0, s_off + S_pad + 1 - meta.shape[1]), (0, 0), (0, 0)))
+        meta = meta.reshape(meta.shape[0], -1, 6)
+    elif meta.shape[1] < s_off + S_pad + 1:
         meta = jnp.pad(meta, ((0, 0), (0, s_off + S_pad + 1 - meta.shape[1]), (0, 0)))
     n_sub = 2 if paired else 1
     n_inst = G // n_sub
@@ -310,7 +362,8 @@ def _run_hist(meta, startuv, su, sv, G, S, U, V, interpret=False, paired=True,
         vtgt = jnp.arange(n_sub * VO, dtype=jnp.int32)
     out = pl.pallas_call(
         _hist_kernel_factory(SB, paired, U, s_off, chunk, RELABEL=relabel,
-                             U_RAW=u_raw, V_GRID=v_grid),
+                             U_RAW=u_raw, V_GRID=v_grid, BUCKETS=buckets,
+                             THRESH=thresh),
         grid=(n_inst, S_pad // SB),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -325,8 +378,8 @@ def _run_hist(meta, startuv, su, sv, G, S, U, V, interpret=False, paired=True,
         ),
         out_shape=jax.ShapeDtypeStruct((n_inst, S_pad, UO, n_sub * VO), jnp.float32),
         scratch_shapes=[
-            pltpu.SMEM((SB + 2,), jnp.int32),
-            pltpu.SMEM((SB + 2,), jnp.int32),
+            pltpu.SMEM((SB * buckets + 2,), jnp.int32),
+            pltpu.SMEM((SB * buckets + 2,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -508,6 +561,8 @@ def ray_pass_counts_matmul(
     s_exit = jnp.floor(jnp.min(per_axis, axis=1)).astype(jnp.int32) + 2
     kmax = jnp.minimum(kmax, jnp.maximum(s_exit, 0))
 
+    NB = len(_SLAB_THRESH) if y_window is not None else 1  # entry buckets (slab only)
+    bucket = jnp.zeros_like(group)
     if y_window is not None:
         # slab kmax cut for the non-y-dominant groups: their y coordinate
         # u(s)/v(s) = start_y + s·sy is monotone, so the LAST step that can
@@ -536,11 +591,41 @@ def ray_pass_counts_matmul(
         slab_cut = jnp.maximum(jnp.maximum(e1, e2), 0)
         kmax = jnp.where(dom == 1, kmax, jnp.minimum(kmax, slab_cut))
 
-    # sort rays by (group, descending kmax) so live rays at step s are a
-    # prefix; group and kmax are recovered from the key (3-operand sort)
-    key = group * (S + 2) + (S + 1 - kmax)
+        # slab ENTRY bound (same interval geometry, entry side, −2 margin):
+        # the FIRST step at which the ray's y can land in the slab. Rays are
+        # bucketed by entry // _SLAB_QSTEP, and the kernel's worklist skips
+        # bucket b before step b·QSTEP — the x-dominant "pre-slab head"
+        # (rays streamed from step 1 while still approaching the slab,
+        # ~1.9 ms of the r4 slab constant) is never streamed at all.
+        def entry_step(lo, hi, valid):
+            lo_f, hi_f = lo.astype(jnp.float32), hi.astype(jnp.float32)
+            in0 = (u0 >= lo_f) & (u0 < hi_f + 1.0)
+            tpos = (lo_f - u0) / jnp.where(sy > 0, sy, 1.0)
+            tneg = (u0 - (hi_f + 1.0)) / jnp.where(sy < 0, -sy, 1.0)
+            t = jnp.where(sy > 0, tpos, jnp.where(sy < 0, tneg, jnp.float32(1e9)))
+            t = jnp.where(in0, 0.0, t)
+            t = jnp.where(valid, t, jnp.float32(1e9))
+            t = jnp.maximum(t, 0.0)
+            return jnp.floor(jnp.minimum(t, jnp.float32(1e8))).astype(jnp.int32) - 2
+
+        en1 = entry_step(a, hi1, True)
+        en2 = entry_step(jnp.int32(0), hi2, hi2 >= 0)
+        entry = jnp.clip(jnp.minimum(en1, en2), 0, S)
+        # buckets only for the x-dominant pair (the slab constant's source;
+        # y-dominant rows are already slab-relabeled, z-dominant is tiny)
+        bx = jnp.zeros_like(entry)
+        for thr in _SLAB_THRESH[1:]:
+            bx = bx + (entry >= thr).astype(jnp.int32)
+        bucket = jnp.where(dom == 0, bx, 0)
+
+    # sort rays by (group, entry bucket, descending kmax) so each (group,
+    # bucket)'s live rays at step s are a prefix; all three are recovered
+    # from the key (3-operand sort). NB == 1 (full grid) degenerates to the
+    # plain (group, desc kmax) order.
+    key = (group * NB + bucket) * (S + 2) + (S + 1 - kmax)
     key_s, su_s, sv_s = jax.lax.sort((key, su, sv), num_keys=1)
-    group_s = key_s // (S + 2)
+    gb_s = key_s // (S + 2)
+    group_s = gb_s // NB
     kmax_s = (S + 1) - key_s % (S + 2)
 
     # pad so any in-range chunk read stays in bounds; padded rays are dead
@@ -549,18 +634,25 @@ def ray_pass_counts_matmul(
     su_s = jnp.pad(su_s, (0, pad))
     sv_s = jnp.pad(sv_s, (0, pad))
 
-    # per-group sizes and per-(group, step) live counts via small matmul hists
-    ohg = (group_s[:, None] == jnp.arange(6)[None, :]).astype(jnp.bfloat16)
+    # per-(group, bucket) sizes and per-(group, bucket, step) live counts via
+    # small matmul hists (NB = 1 outside slab mode: identical to per-group)
+    ohg = (gb_s[:, None] == jnp.arange(6 * NB)[None, :]).astype(jnp.bfloat16)
     ohk = (kmax_s[:, None] == jnp.arange(S + 1)[None, :]).astype(jnp.bfloat16)
     alive_mask = (kmax_s > 0).astype(jnp.bfloat16)
-    cnt_gk = jax.lax.dot_general(
+    cnt_gbk = jax.lax.dot_general(
         ohg * alive_mask[:, None], ohk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(jnp.int32)                                    # [6, S+1] rays per (group, kmax)
-    live_gs = jnp.flip(jnp.cumsum(jnp.flip(cnt_gk, axis=1), axis=1), axis=1)  # rays with kmax >= s
-    sizes = jax.lax.dot_general(
+    ).astype(jnp.int32)                                    # [6·NB, S+1]
+    live_gbs = jnp.flip(jnp.cumsum(jnp.flip(cnt_gbk, axis=1), axis=1), axis=1)  # kmax >= s
+    sizes_gb = jax.lax.dot_general(
         ohg, jnp.ones((n, 1), jnp.bfloat16), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )[:, 0].astype(jnp.int32)                              # [6] all rays per group (incl dead)
-    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(sizes)[:-1]])
+    )[:, 0].astype(jnp.int32)                              # [6·NB] all rays (incl dead)
+    offsets_gb = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(sizes_gb)[:-1]])
+    # group-level views for the un-bucketed consumers: buckets are contiguous
+    # within a group, so a group's segment starts at its bucket 0. (For
+    # bucketed groups the group-level kmax-prefix property does NOT hold —
+    # only the slab x-dominant meta below uses those, bucketed.)
+    offsets = offsets_gb[::NB]
+    live_gs = live_gbs.reshape(6, NB, S + 1).sum(axis=1)
 
     # dominant-axis cell rows per (group, step) in INTEGER arithmetic:
     # floor(start_rel_dom) ± s — the exact value of floor(start_dom + s·(±1)),
@@ -636,10 +728,30 @@ def ray_pass_counts_matmul(
         # (ys0 + c − oy) mod Y — the one-hot itself selects slab columns
         ytgt = jnp.mod(ys0 + jnp.arange(Ys, dtype=jnp.int32) - origin[1], Y)
 
-        # x-dominant pair (u = y → slab targets, v = z)
-        meta01 = build_meta([0, 1])
+        # x-dominant pair (u = y → slab targets, v = z): entry-bucketed
+        # worklist — meta rows are (step, bucket) with each bucket's own
+        # chunk window; the kernel skips bucket b before step b·QSTEP
+        def build_meta_bucketed(groups):
+            m = []
+            for g in groups:
+                per_b = []
+                for b in range(NB):
+                    gb = g * NB + b
+                    off = jnp.broadcast_to(offsets_gb[gb], (S,))
+                    cnts = live_gbs[gb, 1:]
+                    abase = (off // _CHUNK) * _CHUNK
+                    nchunks = (off + cnts - abase + _CHUNK - 1) // _CHUNK
+                    ok = rows_ok[g].astype(jnp.int32)
+                    per_b.append(jnp.stack([abase, nchunks, off, cnts, ok, step_col], axis=1))
+                m.append(jnp.stack(per_b, axis=1))          # [S, NB, 6]
+            meta = jnp.stack(m, axis=0)                      # [G, S, NB, 6]
+            return jnp.concatenate(
+                [jnp.zeros((len(groups), 1, NB, 6), jnp.int32), meta], axis=1)
+
+        meta01 = build_meta_bucketed([0, 1])
         hist01 = _run_hist(meta01, startuv[:2], su_s, sv_s, 2, S, Y, Z, interpret,
-                           paired=True, SB=_SBLOCK_XY, u_mod=Ys, utgt=ytgt)
+                           paired=True, SB=_SBLOCK_XY, u_mod=Ys, utgt=ytgt,
+                           buckets=NB, thresh=_SLAB_THRESH)
 
         # y-dominant pair: relabeled worklist — row j of the output IS the
         # slab-local dominant row, meta carries each half's absolute step
@@ -1320,16 +1432,16 @@ def fused_point_moments(
     pz_s = jnp.pad(pz_s, (0, padn), constant_values=-big)
     mhval = jnp.pad(mhval, (0, padn))
 
-    # per-x-voxel counts -> cumulative offsets -> per-INSTANCE chunk windows
-    # (an instance covers W slices in one matmul ladder; the ±rx box is the
-    # post-pass below, not a wider worklist window)
-    key_s = vid_s // (Yp * Zp)                     # back to x-slice keys
-    ohx = (key_s[:, None] == jnp.arange(Xp + 1)[None, :]).astype(jnp.bfloat16)
-    cnt = jax.lax.dot_general(
-        ohx, jnp.ones((n, 1), jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )[:, 0].astype(jnp.int32)                      # [Xp+1]
-    cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])  # cum[x] = #(ux < x)
+    # per-x-voxel cumulative offsets -> per-INSTANCE chunk windows (an
+    # instance covers W slices in one matmul ladder; the ±rx box is the
+    # post-pass below, not a wider worklist window). vid_s is sorted, so
+    # cum[x] = #(ux < x) is a binary search — r5: replaces the [N, Xp+1]
+    # one-hot count matmul, whose operand grew with the batched
+    # merged-points N (B=64 blew the 128 MB XLA vmem budget) and cost a
+    # full N-row stream even at N = 131k
+    key_s = vid_s // (Yp * Zp)                     # back to x-slice keys (sorted)
+    cum = jnp.searchsorted(key_s, jnp.arange(Xp + 1, dtype=key_s.dtype),
+                           side="left").astype(jnp.int32)       # [Xp+1]
 
     W = _XBLOCK
     if Yp >= _MOM_RADIX:

@@ -72,6 +72,9 @@ def main():
     ap.add_argument("--combine-impl", default="auto")
     ap.add_argument("--slab-ys", type=int, default=0,
                     help="slabingest stage: y-window width (default xy_size//2)")
+    ap.add_argument("--slab-ys0", type=int, default=0,
+                    help="slabingest stage: torus y of the slab start (0 lands "
+                         "next to the bench ego; ~96 puts it mid-grid away)")
     args = ap.parse_args()
 
     cfg = GvomConfig(xy_size=args.xy_size, z_size=args.z_size,
@@ -135,7 +138,7 @@ def main():
         j = i % nd
         if args.stage == "slabingest":
             ys = args.slab_ys or cfg.xy_size // 2
-            ywin = None if ys >= cfg.xy_size else (0, ys)
+            ywin = None if ys >= cfg.xy_size else (args.slab_ys0, ys)
             g, _ = pipeline.ingest_scan(cfg, scans[j], masks[j], egos[j], None,
                                         "auto", y_window=ywin)
             probe = (jnp.sum(g.hit) + jnp.sum(g.miss) + jnp.sum(g.mom)).astype(jnp.float32)
