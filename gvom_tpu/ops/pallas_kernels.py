@@ -1314,6 +1314,17 @@ def _xbox_epilogue(out: jnp.ndarray, rx: int, Z: int, X: int, interpret: bool = 
     W = 16
     while X % W:
         W //= 2
+
+    def vmem_bytes(w):
+        # double-buffered halo scratch + pallas' double-buffered out blocks
+        scratch = 2 * (w + 2 * rx) * 6 * U * V * 4
+        outs = 2 * (w * 5 * U * V + 2 * w * U * Z) * 4
+        return scratch + outs
+
+    # large grids (512²: U = 512) blow the 100 MB scoped window at W = 16 —
+    # halve the block until the estimate fits with headroom
+    while W > 2 and vmem_bytes(W) > 80 * 1024 * 1024:
+        W //= 2
     if W < 2 * rx:
         # the lookahead-block halo needs 2rx ≤ W; huge eigen radii fall back
         # to the (slower, exact) XLA translate
