@@ -1359,6 +1359,154 @@ def _xbox_epilogue(out: jnp.ndarray, rx: int, Z: int, X: int, interpret: bool = 
     )(out)
 
 
+def _xbox_epilogue_into_factory(rx: int, Z: int, W: int, U: int, V: int, X: int,
+                                occupancy_mask: bool = True):
+    """Slot-direct variant of the x-box epilogue (VERDICT r4 ask #5): the mom
+    channel is written IN PLACE into the ring buffer's stacked mom array at
+    [slot, (x + rollx) mod X] — pre-rolled to torus x — via per-row manual
+    DMA against an aliased HBM output. This removes BOTH the XLA-side mom
+    roll (~0.18 ms/scan) and the full-buffer mom rebuild fusion the
+    dynamic-update insert otherwise materializes (~0.51 ms/scan traced).
+    hit/minh stay pipelined block outputs in window layout."""
+    pad = V - 2 * Z
+    H = W + 2 * rx
+
+    def kernel(s_ref, out_hbm, bufmom_in, bufmom, hit_ref, minh_ref,
+               scratch, momrow, sems, osems):
+        del bufmom_in  # aliased to bufmom; never read
+        xb = pl.program_id(0)
+        n = pl.num_programs(0)
+        slot = s_ref[0]
+        rollx = s_ref[1]
+
+        @pl.when(xb == 0)
+        def _():
+            pltpu.make_async_copy(
+                out_hbm.at[pl.ds(0, H)], scratch.at[0], sems.at[0]
+            ).start()
+
+        @pl.when(xb + 1 < n)
+        def _():
+            pltpu.make_async_copy(
+                out_hbm.at[pl.ds((xb + 1) * W, H)],
+                scratch.at[(xb + 1) % 2],
+                sems.at[(xb + 1) % 2],
+            ).start()
+
+        pltpu.make_async_copy(
+            out_hbm.at[pl.ds(xb * W, H)], scratch.at[xb % 2], sems.at[xb % 2]
+        ).wait()
+        cur = scratch.at[xb % 2]
+
+        def src(r):
+            return cur[r]
+
+        for w in range(W):
+            base = src(w + rx)                # [6, U, V]
+            acc = [base[i] for i in range(5)]
+            for d in range(-rx, rx + 1):
+                if d == 0:
+                    continue
+                t = src(w + rx + d)
+                df = float(d)
+                t0, t1, t2 = t[0], t[1], t[2]
+                acc[0] = acc[0] + t0
+                acc[1] = acc[1] + t1 + df * t0
+                acc[2] = acc[2] + t2
+                parts = [2.0 * df * t1[:, :Z] + (df * df) * t0[:, :Z],
+                         df * t2[:, :Z]]
+                if pad:
+                    parts.append(jnp.zeros((U, pad), jnp.float32))
+                acc[3] = acc[3] + t[3] + jnp.concatenate(parts, axis=1)
+                acc[4] = acc[4] + t[4]
+            rM = src(w + rx)[5]
+            hitf = rM[:, Z: 2 * Z]            # counts are exact in f32
+            if occupancy_mask:
+                om = (hitf > 0.0).astype(jnp.float32)
+                parts = [om, om]
+                if pad:
+                    parts.append(jnp.zeros((U, pad), jnp.float32))
+                omm = jnp.concatenate(parts, axis=1)
+            bslot = w % 2
+            if w >= 2:
+                # reusing the double-buffered row: its previous DMA must land
+                prow = (xb * W + (w - 2) + rollx) % X
+                pltpu.make_async_copy(
+                    momrow.at[bslot], bufmom.at[slot, prow], osems.at[bslot]
+                ).wait()
+            for i in range(5):
+                momrow[bslot, i] = (acc[i] * omm) if occupancy_mask else acc[i]
+            row = (xb * W + w + rollx) % X
+            pltpu.make_async_copy(
+                momrow.at[bslot], bufmom.at[slot, row], osems.at[bslot]
+            ).start()
+            hit_ref[w] = hitf.astype(jnp.int32)
+            minh_ref[w] = jnp.where(hitf > 0.0, rM[:, :Z], 1.0)
+        # drain the last two row DMAs before the instance retires
+        last_row = (xb * W + W - 1 + rollx) % X
+        pltpu.make_async_copy(
+            momrow.at[(W - 1) % 2], bufmom.at[slot, last_row], osems.at[(W - 1) % 2]
+        ).wait()
+        if W >= 2:
+            prev_row = (xb * W + W - 2 + rollx) % X
+            pltpu.make_async_copy(
+                momrow.at[(W - 2) % 2], bufmom.at[slot, prev_row], osems.at[(W - 2) % 2]
+            ).wait()
+
+    return kernel
+
+
+def _xbox_epilogue_into(out, rx: int, Z: int, X: int, buf_mom, slot, rollx,
+                        occupancy_mask: bool = True):
+    """(new_buf_mom, hit [X,U,Z] i32 window, minh [X,U,Z] f32 window) — the
+    mom channel lands pre-rolled in buf_mom[slot]; see the factory note."""
+    U, V = out.shape[2], out.shape[3]
+    W = 16
+    while X % W:
+        W //= 2
+
+    def vmem_bytes(w):
+        scratch = 2 * (w + 2 * rx) * 6 * U * V * 4
+        momrow = 2 * 5 * U * V * 4
+        outs = 2 * (2 * w * U * Z) * 4
+        return scratch + momrow + outs
+
+    while W > 2 and vmem_bytes(W) > 80 * 1024 * 1024:
+        W //= 2
+    if W < 2 * rx:
+        raise ValueError("x-box radius too large for the slot-direct epilogue")
+    n_inst = X // W
+    scal = jnp.stack([slot.astype(jnp.int32), rollx.astype(jnp.int32)])
+    new_buf, hit, minh = pl.pallas_call(
+        _xbox_epilogue_into_factory(rx, Z, W, U, V, X, occupancy_mask),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_inst,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((W, U, Z), lambda xb, s: (xb, 0, 0)),
+                pl.BlockSpec((W, U, Z), lambda xb, s: (xb, 0, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, W + 2 * rx, 6, U, V), jnp.float32),
+                pltpu.VMEM((2, 5, U, V), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(buf_mom.shape, buf_mom.dtype),
+            jax.ShapeDtypeStruct((X, U, Z), jnp.int32),
+            jax.ShapeDtypeStruct((X, U, Z), jnp.float32),
+        ),
+        input_output_aliases={2: 0},   # buf_mom (after the scalar operand) → out 0
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(scal, out, buf_mom)
+    return new_buf, hit, minh
+
+
 def fused_point_moments(
     cfg: GvomConfig,
     points: jnp.ndarray,
@@ -1367,6 +1515,7 @@ def fused_point_moments(
     interpret: bool = False,
     y_window=None,
     occupancy_mask: bool = True,
+    mom_into=None,
 ):
     """Returns (hit [X,Y,Z] i32, min_height [X,Y,Z] f32, mom [X,5,Y,Vp] f32) —
     endpoint counts, per-voxel min sub-voxel z, and raw target-voxel-local
@@ -1484,6 +1633,31 @@ def fused_point_moments(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(meta, org, px_s, py_s, pz_s, mhval)
+
+    if mom_into is not None:
+        # slot-direct insert (r5): the epilogue writes the mom channel
+        # straight into the ring buffer's stacked array, pre-rolled to torus
+        # x — no XLA mom roll and no full-buffer rebuild fusion. Returns
+        # (hit, minh, NEW buffer mom). Single-scan ingest only.
+        assert y_window is None, "mom_into is the per-scan insert path"
+        buf_mom, slot = mom_into
+        rollx = origin[0] % X
+        if not interpret:
+            new_buf, hit, minh = _xbox_epilogue_into(
+                out, rx, Z, X, buf_mom, slot, rollx, occupancy_mask=occupancy_mask)
+        else:
+            mom, rM = _xbox_translate_packed(out, rx, Z, X)
+            hit = rM[..., Z: 2 * Z].astype(jnp.int32)
+            minh = jnp.where(hit > 0, rM[..., :Z], 1.0)
+            if occupancy_mask:
+                from gvom_tpu.ops.moments import packed_voxel_mask
+
+                mom = jnp.where(packed_voxel_mask(hit > 0, Z)[:, None], mom, 0.0)
+            new_buf = jax.lax.dynamic_update_index_in_dim(
+                buf_mom, jnp.roll(mom, rollx, axis=0), slot, 0)
+        hit = jnp.roll(hit, rollx, axis=0)
+        minh = jnp.roll(minh, rollx, axis=0)
+        return hit, minh, new_buf
 
     # x-box aggregation: shift+translate over the per-slice exact output,
     # with the x-padding crop fused into the same pass (slots 0..4; slot 5 is

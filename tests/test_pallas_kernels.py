@@ -368,3 +368,48 @@ def test_raycast_knife_edge_dominant_row_exact():
     np.testing.assert_array_equal(ref, expected)
     # the knife-edge step landed on the true row (31), not the f32-floor row
     assert expected[x0 + 27].sum() == 1
+
+
+def test_fused_ingest_insert_matches_plain():
+    """The TPU fast ingest+insert (slot-direct mom epilogue,
+    pipeline._ingest_and_insert_fused) is bitwise-identical to
+    ingest_scan + buffer_insert on every buffer channel, including the
+    degenerate-scan write-off slot."""
+    from gvom_tpu.config import GvomConfig
+    from gvom_tpu.models import pipeline
+    from gvom_tpu.types import empty_buffer_state
+
+    cfg = GvomConfig(xy_size=64, z_size=32, max_points=4096, buffer_size=3)
+    terrain = synthetic.composite_terrain()
+    ego = np.array([0.3, -0.2, 1.5])
+    buf_a = empty_buffer_state(cfg)
+    buf_b = empty_buffer_state(cfg)
+    for seed in range(3):
+        ego = ego + np.array([0.4, 0.2, 0.0])
+        pts = make_scan(terrain, ego, n_az=48, channels=16, seed=seed, cfg=cfg)
+        pad, mask = synthetic.pad_scan(pts, cfg.max_points)
+        if seed == 1:
+            mask = np.zeros_like(mask)          # degenerate scan → slot B
+        p, m, e = jnp.asarray(pad), jnp.asarray(mask), jnp.asarray(np.float32(ego))
+        # reference: the SAME (interpret-mode) moments kernel without the
+        # slot-direct write, through the plain functional insert
+        from gvom_tpu.types import VoxelGrid
+
+        pw, keep = binning.prepare_points(cfg, p, m, e, None)
+        origin = gridops.compute_origin(cfg, e)
+        passes = raycast.ray_pass_counts(cfg, pw, keep, e, origin, impl="xla")
+        hit, minh, mom = fused_point_moments(cfg, pw, keep, origin, interpret=True)
+        grid = VoxelGrid(hit_pk=gridops.pack_yz(hit), miss_pk=gridops.pack_yz(passes),
+                         minh_pk=gridops.pack_yz(minh), mom=mom, origin=origin)
+        ok_a = jnp.any(grid.hit_pk > 0)
+        buf_a = pipeline.buffer_insert(cfg, buf_a, grid, ok_a)
+        buf_b, ok_b = pipeline._ingest_and_insert_fused(
+            cfg, buf_b, p, m, e, None, "xla", interpret=True)
+        assert bool(ok_a) == bool(ok_b)
+    for name in ("hit_pk", "miss_pk", "minh_pk", "mom", "origin"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(buf_a.grids, name)),
+            np.asarray(getattr(buf_b.grids, name)), err_msg=name)
+    np.testing.assert_array_equal(np.asarray(buf_a.slot_valid), np.asarray(buf_b.slot_valid))
+    assert int(buf_a.cursor) == int(buf_b.cursor)
+    assert int(buf_a.last_slot) == int(buf_b.last_slot)
